@@ -1,0 +1,128 @@
+"""Configuration for the style-transfer engine.
+
+Reference parity: mirrors the keyword defaults of the reference Config class
+(reference config.py:3-31) and the module-level concurrency cap
+(reference config.py:1), and adds TPU-native knobs (dtype, streaming cadence,
+L-BFGS history, mesh layout) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Max style-transfer jobs optimizing concurrently (reference config.py:1).
+# On TPU each job owns the chip while it runs a chunk of steps; the batched
+# executor (parallel/batch.py) is the preferred way to run many jobs at once.
+simultaneous_tasks_count = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All engine settings. Defaults match reference config.py:5-18."""
+
+    # --- loss weights (reference config.py:6-8) ---
+    content_weight: float = 1e3
+    style_weight: float = 4e5
+    tv_weight: float = 1e2
+
+    # --- algorithm selection (reference config.py:9-11) ---
+    optimizer: str = "lbfgs"            # 'lbfgs' | 'adam'
+    model: str = "vgg19"                # 'vgg19'
+    init_method: str = "content+noise"  # 'random' | 'content+noise' | 'style'
+
+    # --- pyramid / iteration counts (reference config.py:12-13) ---
+    levels_num: int = 2                 # 4 for maximum resolution
+    iters_num: int = 500                # 1500 for maximum quality
+
+    # --- structured noise init (reference config.py:14-18) ---
+    noise_factor: float = 0.95
+    noise_levels: Tuple[int, ...] = (9, 18, 36, -1, 0)
+    noise_levels_central_amplitude: Tuple[float, ...] = (0.30, 0.20, 0.10, 0.20, 0.20)
+    noise_levels_peripheral_amplitude: Tuple[float, ...] = (0.20, 0.30, 0.40, 0.10, 0.00)
+    noise_levels_dispersion: Tuple[float, ...] = (0.20, 0.30, 0.40, 0.60, 0.30)
+
+    # --- optimizer hyperparameters (reference neural_style_transfer.py:367,
+    #     :136 (lbfgs), :154-158 (x0.999/step decay)) ---
+    lr_start: float = 10.0
+    lr_decay: float = 0.999
+    lbfgs_history: int = 10             # torch default is 100; 10 is standard
+                                        # L-BFGS memory and far cheaper in HBM
+    lbfgs_max_ls_steps: int = 20        # strong-Wolfe eval budget per step
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    base_diameter: int = 256            # level-0 shortest side
+                                        # (reference neural_style_transfer.py:213)
+    compute_dtype: str = "float32"      # 'float32' | 'bfloat16' conv compute
+    stream_every: int = 10              # steps per jitted chunk between
+                                        # progress yields (reference yields every
+                                        # step: neural_style_transfer.py:208)
+    seed: int = 0                       # PRNG seed for noise init
+    use_pallas: bool = True             # fused Pallas kernels on TPU where
+                                        # available; XLA fallback otherwise
+    remat_levels: bool = False          # jax.checkpoint each pyramid level's
+                                        # VGG pass (for 4-level / 2K outputs)
+
+
+# ---------------------------------------------------------------------------
+# Preset configs. Parity with the reference lab presets (reference
+# lab.py:17-69) and the headless smoke preset (reference start_nn.py:11-14).
+# ---------------------------------------------------------------------------
+
+NO_NOISE_CONFIG = Config(
+    noise_factor=0.0,
+    noise_levels=(),
+    noise_levels_central_amplitude=(),
+    noise_levels_peripheral_amplitude=(),
+    noise_levels_dispersion=(),
+)
+
+PIXEL_WIDE_NOISE_CONFIG = Config(
+    noise_factor=0.5,
+    noise_levels=(-1,),
+    noise_levels_central_amplitude=(1.0,),
+    noise_levels_peripheral_amplitude=(1.0,),
+    noise_levels_dispersion=(0.5,),
+)
+
+NOISE_128_CONFIG = Config(
+    noise_factor=0.7,
+    noise_levels=(128,),
+    noise_levels_central_amplitude=(1.0,),
+    noise_levels_peripheral_amplitude=(1.0,),
+    noise_levels_dispersion=(0.5,),
+)
+
+NOISE_16_CONFIG = Config(
+    noise_factor=0.7,
+    noise_levels=(16,),
+    noise_levels_central_amplitude=(1.0,),
+    noise_levels_peripheral_amplitude=(1.0,),
+    noise_levels_dispersion=(0.5,),
+)
+
+STANDARD_GAUSS_NOISE_CONFIG = Config()
+
+LIGHT_GAUSS_NOISE_CONFIG = Config(
+    content_weight=1e3,
+    style_weight=1e3,
+    tv_weight=0e0,
+    levels_num=2,
+    iters_num=1500,
+    noise_factor=0.95,
+    noise_levels=(32, 64, 128, -1, 0),
+    noise_levels_central_amplitude=(0.10, 0.15, 0.5, 0.10, 0.00),
+    noise_levels_peripheral_amplitude=(0.20, 0.30, 0.10, 0.80, 0.00),
+)
+
+STARTING_CONFIG = Config(levels_num=1, iters_num=10)
+
+PRESETS = {
+    "no_noise": NO_NOISE_CONFIG,
+    "pixel_wide": PIXEL_WIDE_NOISE_CONFIG,
+    "noise_128": NOISE_128_CONFIG,
+    "noise_16": NOISE_16_CONFIG,
+    "standard": STANDARD_GAUSS_NOISE_CONFIG,
+    "light_gauss": LIGHT_GAUSS_NOISE_CONFIG,
+    "smoke": STARTING_CONFIG,
+}

@@ -1,0 +1,165 @@
+"""VGG19 feature extractor as a pure-JAX NHWC forward pass.
+
+Reference parity: the reference wraps torchvision's pretrained VGG19 into six
+sequential slices exposing the taps ['relu1_1', 'relu2_1', 'relu3_1',
+'relu4_1', 'conv4_2', 'relu5_1'] with content index 4 (conv4_2, pre-ReLU) and
+style indices [0, 1, 2, 3, 5] (reference neural_nets.py:21-29, :37-48), with
+frozen weights (reference neural_nets.py:49-51).
+
+TPU-native design decisions:
+- NHWC layout + HWIO kernels — the native layout for TPU convolutions, so the
+  channel dimension rides the 128-wide lane axis of the MXU.
+- The network is truncated after relu5_1: conv5_2..conv5_4 are never computed
+  (the reference pays for them neither — its slices stop at layer 29).
+- Weights are an explicit pytree argument (functional, jit/vmap/pjit-friendly),
+  never module state; freezing is the default in a functional paradigm
+  (gradients flow to the image argument only).
+- Optional bfloat16 compute: weights/activations cast to bf16 for the conv
+  (MXU-native), accumulating in float32 via preferred_element_type.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# Taps exposed to the loss code (reference neural_nets.py:21).
+LAYER_NAMES = ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "conv4_2", "relu5_1")
+CONTENT_INDEX = 4  # conv4_2 (reference neural_nets.py:26)
+STYLE_INDICES = (0, 1, 2, 3, 5)  # everything except conv4_2 (reference neural_nets.py:28-29)
+
+# VGG19 conv stack up to conv5_1. Each entry: (name, out_channels).
+# Blocks are separated by 2x2 max-pooling. Only the layers needed to produce
+# the six taps are present (conv5_2+ are omitted on purpose).
+VGG19_LAYERS = (
+    ("conv1_1", 64), ("conv1_2", 64),
+    ("pool", 0),
+    ("conv2_1", 128), ("conv2_2", 128),
+    ("pool", 0),
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256),
+    ("pool", 0),
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512),
+    ("pool", 0),
+    ("conv5_1", 512),
+)
+
+CONV_NAMES = tuple(n for n, _ in VGG19_LAYERS if n != "pool")
+
+# Which (name -> tap slot) activations to record.
+# conv4_2 is captured PRE-ReLU (reference neural_nets.py:45-46: slice5 is the
+# bare conv layer 21); every other tap is post-ReLU.
+_TAPS = {
+    "relu1_1": ("conv1_1", "post"),
+    "relu2_1": ("conv2_1", "post"),
+    "relu3_1": ("conv3_1", "post"),
+    "relu4_1": ("conv4_1", "post"),
+    "conv4_2": ("conv4_2", "pre"),
+    "relu5_1": ("conv5_1", "post"),
+}
+
+
+class Vgg19Features(NamedTuple):
+    """The six feature taps, NHWC (reference neural_nets.py:66-68)."""
+
+    relu1_1: jax.Array
+    relu2_1: jax.Array
+    relu3_1: jax.Array
+    relu4_1: jax.Array
+    conv4_2: jax.Array
+    relu5_1: jax.Array
+
+
+Params = Dict[str, Dict[str, jax.Array]]
+
+
+def _conv2d_same(x: jax.Array, w: jax.Array, b: jax.Array,
+                 compute_dtype: jnp.dtype) -> jax.Array:
+    """3x3 stride-1 SAME convolution in NHWC/HWIO with f32 accumulation."""
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _maxpool2(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 max pool (torchvision MaxPool2d(kernel=2, stride=2))."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def extract_features(params: Params, x: jax.Array,
+                     compute_dtype: str = "float32") -> Vgg19Features:
+    """Run the truncated VGG19 stack and return the six taps.
+
+    Args:
+      params: {conv_name: {'w': (3,3,Cin,Cout) HWIO, 'b': (Cout,)}}.
+      x: preprocessed image batch, NHWC float32
+         (pixels*255 - ImageNet mean, see utils/image.py).
+      compute_dtype: 'float32' or 'bfloat16' for the conv MACs.
+
+    Returns:
+      Vgg19Features of float32 NHWC maps.
+    """
+    cdt = jnp.dtype(compute_dtype)
+    taps: Dict[str, jax.Array] = {}
+    pre_wanted = {src: tap for tap, (src, kind) in _TAPS.items() if kind == "pre"}
+    post_wanted = {src: tap for tap, (src, kind) in _TAPS.items() if kind == "post"}
+
+    h = x
+    for name, _ in VGG19_LAYERS:
+        if name == "pool":
+            h = _maxpool2(h)
+            continue
+        p = params[name]
+        h = _conv2d_same(h, p["w"], p["b"], cdt)
+        if name in pre_wanted:
+            taps[pre_wanted[name]] = h
+        h = jax.nn.relu(h)
+        if name in post_wanted:
+            taps[post_wanted[name]] = h
+        if name == "conv5_1":
+            break  # nothing past relu5_1 is ever used
+
+    return Vgg19Features(*(taps[n] for n in LAYER_NAMES))
+
+
+def prepare_model(model: str):
+    """Return (feature_fn, content_index, style_indices) for a model name.
+
+    Reference parity: prepare_model(model, device) with only 'vgg19'
+    supported, raising ValueError otherwise (reference math_utils.py:9-23).
+    Device placement is implicit in JAX (jit partitions decide placement).
+    """
+    if model == "vgg19":
+        return extract_features, CONTENT_INDEX, list(STYLE_INDICES)
+    raise ValueError(f"{model} not supported.")
+
+
+def param_shapes() -> Dict[str, Dict[str, tuple]]:
+    """Static shape table for all conv parameters (HWIO kernels)."""
+    shapes = {}
+    cin = 3
+    for name, cout in VGG19_LAYERS:
+        if name == "pool":
+            continue
+        shapes[name] = {"w": (3, 3, cin, cout), "b": (cout,)}
+        cin = cout
+    return shapes
+
+
+def count_params(params: Params) -> int:
+    return int(sum(np.prod(v["w"].shape) + np.prod(v["b"].shape)
+                   for v in params.values()))

@@ -1,0 +1,54 @@
+"""Content / style / TV losses for one pyramid level.
+
+Reference parity (reference neural_style_transfer.py:84-112):
+- content loss: mean MSE between conv4_2 feature maps (batch squeezed)
+- style loss: mean over style layers of MSE between Gram matrices, taking
+  batch element [0] of each Gram
+- tv loss: squared-mean TV of the (preprocessed) level image
+- level total = content_weight*content + style_weight*style + tv_weight*tv
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .gram import gram_matrix
+from .tv import total_variation
+
+
+class LevelLoss(NamedTuple):
+    total: jax.Array
+    content: jax.Array
+    style: jax.Array
+    tv: jax.Array
+
+
+def content_loss(target_content: jax.Array, current_content: jax.Array) -> jax.Array:
+    """MSE between content-tap feature maps."""
+    return jnp.mean(jnp.square(target_content - current_content))
+
+
+def style_loss(target_grams: Sequence[jax.Array],
+               current_grams: Sequence[jax.Array]) -> jax.Array:
+    """Mean over layers of MSE between Gram matrices (batch element 0)."""
+    acc = jnp.float32(0.0)
+    for gt, gh in zip(target_grams, current_grams):
+        acc = acc + jnp.mean(jnp.square(gt[0] - gh[0]))
+    return acc / len(target_grams)
+
+
+def level_loss(feats, target_content: jax.Array,
+               target_grams: Sequence[jax.Array], level_img: jax.Array,
+               content_weight: float, style_weight: float, tv_weight: float,
+               content_index: int = 4,
+               style_indices: Sequence[int] = (0, 1, 2, 3, 5)) -> LevelLoss:
+    """Weighted loss of one pyramid level given current feature taps."""
+    c = content_loss(target_content, feats[content_index])
+    current_grams = [gram_matrix(feats[i]) for i in style_indices]
+    s = style_loss(target_grams, current_grams)
+    t = total_variation(level_img)
+    total = content_weight * c + style_weight * s + tv_weight * t
+    return LevelLoss(total=total, content=c, style=s, tv=t)

@@ -1,0 +1,67 @@
+"""Numeric parity of gram / TV / losses / resize vs the torch twin and cv2."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+
+from artstyletransfer_tpu.ops import (
+    bicubic_resize,
+    downscale2x,
+    gram_matrix,
+    total_variation,
+)
+from artstyletransfer_tpu.ops.resize import bicubic_resize_np
+from artstyletransfer_tpu.baselines import torch_ref
+
+
+def test_gram_matches_torch(rng):
+    x = rng.standard_normal((2, 13, 17, 8)).astype(np.float32)
+    ours = np.asarray(gram_matrix(jnp.asarray(x)))
+    theirs = torch_ref.gram_matrix(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_unnormalized(rng):
+    x = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+    ours = np.asarray(gram_matrix(jnp.asarray(x), should_normalize=False))
+    theirs = torch_ref.gram_matrix(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), should_normalize=False
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_tv_matches_torch(rng):
+    x = rng.standard_normal((1, 19, 23, 3)).astype(np.float32) * 100
+    ours = float(total_variation(jnp.asarray(x)))
+    theirs = float(torch_ref.total_variation(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_bicubic_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.random((37, 53, 3)).astype(np.float32)
+    for (oh, ow) in [(74, 106), (19, 27), (128, 96)]:
+        ours = np.asarray(bicubic_resize(jnp.asarray(img), oh, ow))
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_downscale2x_matches_torch_interpolate(rng):
+    img = rng.random((1, 32, 48, 3)).astype(np.float32) * 200 - 100
+    ours = np.asarray(downscale2x(jnp.asarray(img)))
+    t = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
+    ref = torch.nn.functional.interpolate(t, size=(16, 24), mode="bicubic")
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_numpy_and_jax_resize_agree(rng):
+    img = rng.random((21, 34, 3)).astype(np.float32)
+    a = bicubic_resize_np(img, 42, 68)
+    b = np.asarray(bicubic_resize(jnp.asarray(img), 42, 68))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
