@@ -1,0 +1,335 @@
+"""The style-transfer engine: jit-compiled pyramid-loss optimization.
+
+Reference behavior being reproduced (architecture is new):
+- one LossBuilder per pyramid level with precomputed targets (reference
+  neural_style_transfer.py:141-147, :78-82)
+- per step: build the optimizing-image pyramid by repeated bicubic /2
+  downscale, accumulate per-level totals, backprop, optimizer step with
+  lr *= 0.999 per iteration (reference neural_style_transfer.py:152-206)
+- an async generator yielding (percent, image_float_rgb_hwc) as it goes
+  (reference neural_style_transfer.py:229-372)
+
+TPU-native design:
+- The ENTIRE optimization step — L VGG19 forwards, Gram losses, TV,
+  autodiff backward, pyramid downscale chain, and the Adam or
+  strong-Wolfe L-BFGS update — is one XLA graph. Steps run in jitted
+  chunks of `stream_every` iterations via lax.fori_loop with donated
+  buffers: there are ZERO host round-trips per step, vs. the reference's
+  full-image device->host copy every iteration (reference
+  neural_style_transfer.py:207-208).
+- Compiled executables are cached per (pyramid shape, config) so repeated
+  jobs with the same shape bucket pay compilation once.
+- Optional jax.checkpoint (remat) around each pyramid level's feature pass
+  for 4-level/2K jobs where activations would exceed HBM.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from functools import partial
+from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from ..config import Config
+from ..models.vgg19 import CONTENT_INDEX, STYLE_INDICES, extract_features
+from ..models.weights import load_vgg19_params
+from ..ops.gram import gram_matrix
+from ..ops.losses import level_loss
+from ..ops.resize import downscale2x
+from ..utils.image import prepare_img, unprepare_img
+from . import lbfgs as lbfgs_mod
+from .init_pipeline import build_init_image
+from .pyramid import build_input_pyramids
+
+
+class ContentStylePair:
+    """Pairs content image - style image (reference neural_style_transfer.py:32-36)."""
+
+    def __init__(self, content, style):
+        self.content = content  # (content_img_name, content_img)
+        self.style = style      # (style_img_name, style_img)
+
+
+class StepMetrics(NamedTuple):
+    total: jax.Array
+    content: jax.Array
+    style: jax.Array
+    tv: jax.Array
+    lr: jax.Array
+    n_evals: jax.Array  # cumulative loss/grad evaluations (line search incl.)
+
+
+# --------------------------------------------------------------------------
+# Loss graph
+# --------------------------------------------------------------------------
+
+
+def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
+                       cfg: Config):
+    """Returns loss_fn(params, targets, x_flat) -> (total, LevelLoss list).
+
+    targets: tuple per level of (content_tap, tuple(grams)).
+    x_flat: flattened top-level preprocessed image.
+    """
+    top_shape = level_shapes[0]
+
+    def loss_fn(params, targets, x_flat):
+        img = x_flat.reshape(top_shape)
+        total = jnp.float32(0.0)
+        metrics = []
+        cur = img
+        for lvl in range(len(level_shapes)):
+            if lvl > 0:
+                cur = downscale2x(cur)
+
+            def level_pass(params, cur, lvl=lvl):
+                feats = extract_features(params, cur, cfg.compute_dtype)
+                t_content, t_grams = targets[lvl]
+                return level_loss(
+                    feats, t_content, t_grams, cur,
+                    cfg.content_weight, cfg.style_weight, cfg.tv_weight,
+                    CONTENT_INDEX, STYLE_INDICES)
+
+            if cfg.remat_levels:
+                level_pass = jax.checkpoint(level_pass)
+            ll = level_pass(params, cur)
+            # accumulate level totals (previous_loss_importance = 1.0,
+            # reference neural_style_transfer.py:180-186)
+            total = total + ll.total
+            metrics.append(ll)
+        return total, metrics
+
+    return loss_fn
+
+
+def _compute_targets(params, content_levels_pre: List[jax.Array],
+                     style_levels_pre: List[jax.Array], cfg: Config):
+    """Per-level target content tap + style Grams (reference
+    neural_style_transfer.py:78-82)."""
+    targets = []
+    for c_img, s_img in zip(content_levels_pre, style_levels_pre):
+        c_feats = extract_features(params, c_img, cfg.compute_dtype)
+        s_feats = extract_features(params, s_img, cfg.compute_dtype)
+        t_content = c_feats[CONTENT_INDEX]
+        t_grams = tuple(gram_matrix(s_feats[i]) for i in STYLE_INDICES)
+        targets.append((t_content, t_grams))
+    return tuple(targets)
+
+
+# --------------------------------------------------------------------------
+# Compiled chunk runners (cached per shape+config)
+# --------------------------------------------------------------------------
+
+_COMPILE_CACHE: Dict[Any, Any] = {}
+
+
+def _config_key(cfg: Config, level_shapes) -> tuple:
+    return (tuple(level_shapes), cfg.content_weight, cfg.style_weight,
+            cfg.tv_weight, cfg.optimizer, cfg.compute_dtype,
+            cfg.stream_every, cfg.lr_start, cfg.lr_decay,
+            cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels)
+
+
+def _build_runners(cfg: Config, level_shapes):
+    """Build (init_fn, chunk_fn, metrics_fn) for one shape bucket."""
+    key = _config_key(cfg, level_shapes)
+    if key in _COMPILE_CACHE:
+        return _COMPILE_CACHE[key]
+
+    loss_fn = _make_pyramid_loss(list(level_shapes), cfg)
+
+    def scalar_loss(params, targets, x):
+        total, _ = loss_fn(params, targets, x)
+        return total
+
+    loss_grad = jax.value_and_grad(scalar_loss, argnums=2)
+
+    def lr_at(step):  # step is 0-based; reference decays BEFORE each use
+        return cfg.lr_start * jnp.power(jnp.float32(cfg.lr_decay),
+                                        step.astype(jnp.float32) + 1.0)
+
+    if cfg.optimizer == "adam":
+        # torch Adam defaults (reference neural_style_transfer.py:134)
+        opt = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+        def init_fn(params, targets, x):
+            return opt.init(x), jnp.int32(0)
+
+        def one_step(params, targets, x, opt_state, step):
+            f, g = loss_grad(params, targets, x)
+            updates, new_state = opt.update(g, opt_state)
+            x = x - lr_at(step) * updates
+            return x, new_state, f
+
+    elif cfg.optimizer == "lbfgs":
+
+        def init_fn(params, targets, x):
+            lg = partial(loss_grad, params, targets)
+            return lbfgs_mod.init_state(lg, x, cfg.lbfgs_history), jnp.int32(0)
+
+        def one_step(params, targets, x, opt_state, step):
+            lg = partial(loss_grad, params, targets)
+            x, opt_state = lbfgs_mod.lbfgs_step(
+                lg, x, opt_state, lr_at(step),
+                max_ls_steps=cfg.lbfgs_max_ls_steps)
+            return x, opt_state, opt_state.f
+
+    else:
+        raise RuntimeError("Unknown optimizer")  # reference parity (:138)
+
+    def chunk_fn(params, targets, x, opt_state, start_step, n_steps):
+        def body(i, carry):
+            x, opt_state, _ = carry
+            x, opt_state, f = one_step(params, targets, x, opt_state,
+                                       start_step + i)
+            return x, opt_state, f
+        return lax.fori_loop(0, n_steps, body,
+                             (x, opt_state, jnp.float32(0.0)))
+
+    def metrics_fn(params, targets, x):
+        total, per_level = loss_fn(params, targets, x)
+        return total, [(l.total, l.content, l.style, l.tv) for l in per_level]
+
+    jit_chunk = jax.jit(chunk_fn, static_argnums=(5,), donate_argnums=(2, 3))
+    jit_init = jax.jit(init_fn)
+    jit_metrics = jax.jit(metrics_fn)
+    jit_targets = jax.jit(partial(_compute_targets, cfg=cfg))
+
+    runners = (jit_init, jit_chunk, jit_metrics, jit_targets)
+    _COMPILE_CACHE[key] = runners
+    return runners
+
+
+# --------------------------------------------------------------------------
+# Job API
+# --------------------------------------------------------------------------
+
+
+class TransferJob:
+    """A compiled style-transfer job for one content/style pair."""
+
+    def __init__(self, content: np.ndarray, style: np.ndarray, cfg: Config,
+                 params=None, init_override: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.params = params if params is not None else load_vgg19_params(
+            seed=cfg.seed)
+        if cfg.model != "vgg19":
+            raise ValueError(f"{cfg.model} not supported.")
+
+        content_levels, style_levels = build_input_pyramids(
+            content, style, cfg.levels_num, cfg.base_diameter)
+        self.level_shapes = [tuple(prepare_img(c).shape)
+                             for c in content_levels]
+
+        c_pre = [jnp.asarray(prepare_img(c)) for c in content_levels]
+        s_pre = [jnp.asarray(prepare_img(s)) for s in style_levels]
+
+        (self._init_fn, self._chunk_fn, self._metrics_fn,
+         targets_fn) = _build_runners(cfg, tuple(self.level_shapes))
+        self.targets = targets_fn(self.params, c_pre, s_pre)
+
+        if init_override is not None:
+            init_img = init_override
+            self.init_name = "override"
+        else:
+            init_img, self.init_name = build_init_image(
+                cfg.init_method, content, style, cfg,
+                rng=np.random.default_rng(cfg.seed))
+        self._x0 = jnp.asarray(prepare_img(init_img).reshape(-1))
+
+    def run(self, iters_num: Optional[int] = None,
+            stream_every: Optional[int] = None
+            ) -> Iterator[Tuple[int, np.ndarray, float]]:
+        """Run the optimization; yields (steps_done, image_hwc_rgb, loss).
+
+        The image is un-preprocessed ([0,1]-domain, unclipped) like the
+        reference's unprepare_img (reference neural_style_transfer.py:386-393).
+        """
+        cfg = self.cfg
+        iters = iters_num if iters_num is not None else cfg.iters_num
+        chunk = stream_every if stream_every is not None else cfg.stream_every
+        chunk = max(1, min(chunk, iters))
+
+        x = self._x0
+        opt_state, _ = self._init_fn(self.params, self.targets, x)
+        done = 0
+        while done < iters:
+            k = min(chunk, iters - done)
+            x, opt_state, f = self._chunk_fn(
+                self.params, self.targets, x, opt_state,
+                jnp.int32(done), int(k))
+            done += k
+            img = unprepare_img(
+                np.asarray(x).reshape(self.level_shapes[0]))
+            yield done, img, float(f)
+
+    def initial_loss(self) -> float:
+        """Total loss at the init image (before any optimization)."""
+        total, _ = self._metrics_fn(self.params, self.targets, self._x0)
+        return float(total)
+
+    def loss_report(self, image_hwc: np.ndarray):
+        """Per-level loss components of a [0,1]-domain image (diagnostics)."""
+        x = jnp.asarray(prepare_img(image_hwc).reshape(-1))
+        total, per_level = self._metrics_fn(self.params, self.targets, x)
+        return float(total), [
+            tuple(float(v) for v in lvl) for lvl in per_level]
+
+
+# --------------------------------------------------------------------------
+# Reference-parity async generator
+# --------------------------------------------------------------------------
+
+
+async def neural_style_transfer(content_n_style: ContentStylePair,
+                                content_weight, style_weight, tv_weight,
+                                optimizer, model, init_method,
+                                iters_num, levels_num, noise_factor,
+                                noise_levels, noise_levels_central_amplitude,
+                                noise_levels_peripheral_amplitude,
+                                noise_levels_dispersion,
+                                params=None, stream_every: int = 10,
+                                seed: int = 0, base_diameter: int = 256):
+    """Async generator yielding (percent, image) — the reference engine API
+    (reference neural_style_transfer.py:229-372).
+
+    Heavy jitted chunks are dispatched via the default thread pool so the
+    asyncio event loop stays responsive (the reference does the same for
+    optimizer.step, reference neural_style_transfer.py:206).
+    """
+    cfg = Config(
+        content_weight=content_weight, style_weight=style_weight,
+        tv_weight=tv_weight, optimizer=optimizer, model=model,
+        init_method=init_method, iters_num=iters_num, levels_num=levels_num,
+        noise_factor=noise_factor, noise_levels=tuple(noise_levels),
+        noise_levels_central_amplitude=tuple(noise_levels_central_amplitude),
+        noise_levels_peripheral_amplitude=tuple(noise_levels_peripheral_amplitude),
+        noise_levels_dispersion=tuple(noise_levels_dispersion),
+        stream_every=stream_every, seed=seed, base_diameter=base_diameter,
+    )
+    loop = asyncio.get_running_loop()
+
+    job = await loop.run_in_executor(
+        None, lambda: TransferJob(content_n_style.content[1],
+                                  content_n_style.style[1], cfg, params))
+
+    it = job.run()
+
+    def next_chunk():
+        try:
+            return next(it)
+        except StopIteration:
+            return None
+
+    while True:
+        res = await loop.run_in_executor(None, next_chunk)
+        if res is None:
+            break
+        done, img, _f = res
+        percent = done / cfg.iters_num * 100.0
+        yield percent, img

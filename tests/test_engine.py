@@ -1,0 +1,178 @@
+"""Engine tests: optimization progress, loss parity with the torch twin,
+L-BFGS correctness, and the reference-parity async generator."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.engine import lbfgs as lbfgs_mod
+from artstyletransfer_tpu.engine.pyramid import build_input_pyramids
+from artstyletransfer_tpu.engine.transfer import (
+    ContentStylePair,
+    TransferJob,
+    neural_style_transfer,
+)
+from artstyletransfer_tpu.utils.image import prepare_img
+from artstyletransfer_tpu.baselines.torch_ref import TorchPyramidLoss, TorchVgg19
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(7)
+    content = rng.random((48, 64, 3)).astype(np.float32)
+    style = rng.random((40, 40, 3)).astype(np.float32)
+    return content, style
+
+
+def test_adam_reduces_loss(images, vgg_params):
+    content, style = images
+    cfg = Config(levels_num=2, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=10)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    start = job.initial_loss()
+    losses = [f for _, _, f in job.run()]
+    # Adam at lr~10 oscillates near its floor; require a big drop vs start
+    assert min(losses) < 0.5 * start
+
+
+def test_lbfgs_reduces_loss(images, vgg_params):
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=10, base_diameter=16,
+                 optimizer="lbfgs", stream_every=5)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    losses = [f for _, _, f in job.run()]
+    assert losses[-1] < losses[0]
+
+
+def test_loss_parity_with_torch_twin(images, vgg_params):
+    """The jitted pyramid loss must match the torch twin on the same data."""
+    content, style = images
+    cfg = Config(levels_num=2, base_diameter=16)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+
+    c_lvls, s_lvls = build_input_pyramids(content, style, 2, 16)
+    to_nchw = lambda a: np.transpose(prepare_img(a), (0, 3, 1, 2))  # noqa
+    tw = TorchPyramidLoss(TorchVgg19(vgg_params),
+                          [to_nchw(c) for c in c_lvls],
+                          [to_nchw(s) for s in s_lvls],
+                          cfg.content_weight, cfg.style_weight, cfg.tv_weight)
+
+    probe = c_lvls[0] * 0.5 + 0.25  # arbitrary image at top-level shape
+    ours_total, ours_levels = job.loss_report(probe)
+    theirs = float(tw.total_loss(torch.from_numpy(to_nchw(probe))))
+    np.testing.assert_allclose(ours_total, theirs, rtol=2e-3)
+    assert len(ours_levels) == 2
+
+
+def test_lbfgs_minimizes_quadratic():
+    """Strong-Wolfe L-BFGS drives a convex quadratic to its optimum."""
+    rng = np.random.default_rng(3)
+    n = 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    A = a @ a.T + np.eye(n, dtype=np.float32) * 0.5
+    b = rng.standard_normal(n).astype(np.float32)
+    x_opt = np.linalg.solve(A, b)
+
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def loss_grad(x):
+        f = 0.5 * x @ A_j @ x - b_j @ x
+        g = A_j @ x - b_j
+        return f, g
+
+    x = jnp.zeros(n)
+    state = lbfgs_mod.init_state(loss_grad, x, history=8)
+    for _ in range(30):
+        x, state = lbfgs_mod.lbfgs_step(loss_grad, x, state, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(x), x_opt, rtol=1e-3, atol=1e-3)
+
+
+def test_lbfgs_tracks_torch_on_quadratic():
+    """Loss trajectory comparable to torch LBFGS(max_iter=1, strong_wolfe)."""
+    rng = np.random.default_rng(5)
+    n = 12
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    A = a @ a.T + np.eye(n, dtype=np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+
+    # torch
+    xt = torch.zeros(n, requires_grad=True)
+    At, bt = torch.from_numpy(A), torch.from_numpy(b)
+    opt = torch.optim.LBFGS((xt,), max_iter=1, line_search_fn="strong_wolfe",
+                            lr=1.0)
+
+    def closure():
+        opt.zero_grad()
+        f = 0.5 * xt @ At @ xt - bt @ xt
+        f.backward()
+        return f
+
+    torch_losses = [float(opt.step(closure)) for _ in range(10)]
+
+    # ours
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def loss_grad(x):
+        return 0.5 * x @ A_j @ x - b_j @ x, A_j @ x - b_j
+
+    x = jnp.zeros(n)
+    state = lbfgs_mod.init_state(loss_grad, x, history=100)
+    our_losses = []
+    for _ in range(10):
+        our_losses.append(float(state.f))
+        x, state = lbfgs_mod.lbfgs_step(loss_grad, x, state, jnp.float32(1.0))
+
+    # both should converge to the same (negative) optimum
+    np.testing.assert_allclose(our_losses[-1], torch_losses[-1], rtol=1e-3)
+
+
+def test_async_generator_reference_api(images, vgg_params):
+    content, style = images
+    pair = ContentStylePair(("c.jpg", content), ("s.jpg", style))
+    cfg = Config()
+
+    async def collect():
+        out = []
+        async for percent, img in neural_style_transfer(
+                pair, cfg.content_weight, cfg.style_weight, cfg.tv_weight,
+                "adam", "vgg19", "content+noise", iters_num=6, levels_num=1,
+                noise_factor=cfg.noise_factor, noise_levels=cfg.noise_levels,
+                noise_levels_central_amplitude=cfg.noise_levels_central_amplitude,
+                noise_levels_peripheral_amplitude=cfg.noise_levels_peripheral_amplitude,
+                noise_levels_dispersion=cfg.noise_levels_dispersion,
+                params=vgg_params, stream_every=2, base_diameter=16):
+            out.append((percent, img.shape))
+        return out
+
+    out = asyncio.run(collect())
+    percents = [p for p, _ in out]
+    assert percents == sorted(percents)
+    assert percents[-1] == 100.0
+    assert all(s[2] == 3 for _, s in out)
+
+
+def test_unknown_optimizer_raises(images, vgg_params):
+    content, style = images
+    cfg = Config(optimizer="sgd", base_diameter=16, levels_num=1)
+    with pytest.raises(RuntimeError, match="Unknown optimizer"):
+        TransferJob(content, style, cfg, params=vgg_params)
+
+
+def test_unknown_model_raises(images, vgg_params):
+    content, style = images
+    cfg = Config(model="alexnet", base_diameter=16, levels_num=1)
+    with pytest.raises(ValueError, match="not supported"):
+        TransferJob(content, style, cfg, params=vgg_params)
+
+
+def test_unknown_init_method_raises(images, vgg_params):
+    content, style = images
+    cfg = Config(init_method="zeros", base_diameter=16, levels_num=1)
+    with pytest.raises(ValueError, match="init_method"):
+        TransferJob(content, style, cfg, params=vgg_params)
