@@ -1,0 +1,143 @@
+"""Command-line frontend: headless style-transfer runs.
+
+Supersedes the reference's start_nn.py smoke runner (reference
+start_nn.py:11-38, a hard-coded 1-level/10-iteration bird+cubism run) with a
+real CLI. The reference has no argument parsing at all ("All the
+configuration is done in the code itself", reference README.md:183); every
+Config field is exposed here as a flag, plus the named presets of
+reference lab.py:17-69.
+
+Examples:
+  astt --content bird.jpg --style cubism2.jpg --output out.jpg
+  astt --preset smoke --content bird.jpg --style cubism2.jpg --output out.jpg
+  python -m artstyletransfer_tpu.frontends.cli --levels 3 --iters 1000 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import dataclasses
+import sys
+import time
+import uuid
+
+import numpy as np
+
+from ..config import PRESETS, Config
+from ..engine.transfer import ContentStylePair
+from ..runtime.executor import Executor
+from ..utils.image import load_image, save_image
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="astt",
+        description="TPU-native neural style transfer (pyramid Gatys + "
+                    "structured noise init)")
+    p.add_argument("--content", required=True, help="content image path")
+    p.add_argument("--style", required=True, help="style image path")
+    p.add_argument("--output", required=True, help="output JPEG path")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="named config preset (overridden by explicit flags)")
+    d = Config()
+    p.add_argument("--optimizer", choices=["lbfgs", "adam"], default=None)
+    p.add_argument("--init-method",
+                   choices=["random", "content+noise", "style"], default=None)
+    p.add_argument("--levels", type=int, default=None,
+                   help=f"pyramid levels (default {d.levels_num})")
+    p.add_argument("--iters", type=int, default=None,
+                   help=f"iterations (default {d.iters_num})")
+    p.add_argument("--content-weight", type=float, default=None)
+    p.add_argument("--style-weight", type=float, default=None)
+    p.add_argument("--tv-weight", type=float, default=None)
+    p.add_argument("--noise-factor", type=float, default=None)
+    p.add_argument("--base-diameter", type=int, default=None,
+                   help="shortest side at pyramid level 0 (default 256)")
+    p.add_argument("--stream-every", type=int, default=None,
+                   help="steps per progress update (default 10)")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--weights", default=None,
+                   help="VGG19 weights path (.npz/.pth/.h5); default: "
+                        "env ASTT_VGG19_WEIGHTS, cache, or seeded init")
+    p.add_argument("--save-progress", action="store_true",
+                   help="also save intermediate images next to the output")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = PRESETS[args.preset] if args.preset else Config()
+    overrides = {}
+    mapping = {
+        "optimizer": "optimizer", "init_method": "init_method",
+        "levels": "levels_num", "iters": "iters_num",
+        "content_weight": "content_weight", "style_weight": "style_weight",
+        "tv_weight": "tv_weight", "noise_factor": "noise_factor",
+        "base_diameter": "base_diameter", "stream_every": "stream_every",
+        "compute_dtype": "compute_dtype", "seed": "seed",
+    }
+    for arg_name, field in mapping.items():
+        val = getattr(args, arg_name)
+        if val is not None:
+            overrides[field] = val
+    return dataclasses.replace(cfg, **overrides)
+
+
+async def run_job(args: argparse.Namespace, cfg: Config) -> np.ndarray:
+    content = load_image(args.content)
+    style = load_image(args.style)
+
+    params = None
+    if args.weights:
+        from ..models.weights import load_vgg19_params
+        params = load_vgg19_params(args.weights)
+
+    latest = {}
+
+    async def report(task_id, result):
+        percent, img = result
+        latest["img"] = img
+        if not args.quiet:
+            print(f"[{task_id[:8]}] {percent:5.1f}%")
+        if args.save_progress and img is not None:
+            save_image(np.clip(img, 0, 1),
+                       f"{args.output}.{percent:05.1f}.jpg")
+
+    from functools import partial
+
+    from ..engine.transfer import neural_style_transfer
+
+    engine = partial(neural_style_transfer, params=params,
+                     stream_every=cfg.stream_every, seed=cfg.seed,
+                     base_diameter=cfg.base_diameter)
+    executor = Executor(cfg, report_progress=report, engine=engine,
+                        verbose=not args.quiet)
+    pair = ContentStylePair((args.content, content), (args.style, style))
+    await executor.add_task(str(uuid.uuid4()), pair)
+    await executor.run()
+    return latest.get("img")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    if not args.quiet:
+        print(f"config: optimizer={cfg.optimizer} levels={cfg.levels_num} "
+              f"iters={cfg.iters_num} init={cfg.init_method} "
+              f"base={cfg.base_diameter}")
+    t0 = time.time()
+    img = asyncio.run(run_job(args, cfg))
+    if img is None:
+        print("No output produced", file=sys.stderr)
+        return 1
+    save_image(np.clip(img, 0, 1), args.output)
+    if not args.quiet:
+        print(f"Done in {time.time() - t0:.1f}s -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+"""Asyncio task executor: concurrent style-transfer jobs with streamed progress.
+
+Reference parity (reference task_executor.py:13-129):
+- Task spawns its job on construction; the job acquires a global semaphore
+  capping concurrency at config.simultaneous_tasks_count, iterates the
+  engine's async generator, defensively copies each result, and reports it.
+- Executor keeps task and progress tables behind asyncio locks; progress
+  entries are (percent, latest image) tuples seeded with (-1, None);
+  get/set always copy. An optional report_progress callback fires per result.
+- run(forever=False) waits for all live jobs; run(forever=True) keeps
+  polling for new ones. Two deliberate divergences from the reference:
+  (a) reference run(forever=False) is a no-op (`while forever:` at
+  task_executor.py:118 never runs), so its headless runner only completes
+  jobs by accident of executor-thread shutdown; here it genuinely awaits
+  them, which is the documented intent ("All jobs done", start_nn.py:38).
+  (b) the reference busy-polls with a BLOCKING time.sleep(1)
+  (task_executor.py:129); here the poll is a non-blocking asyncio.sleep so
+  the event loop keeps serving frontends.
+
+The engine function is injectable so tests can use an instant fake engine,
+and the batched TPU executor (parallel/batch.py) can reuse this scheduler.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Callable, Dict, Optional
+
+from .. import config as config_mod
+from ..engine.transfer import ContentStylePair, neural_style_transfer
+
+_semaphore: Optional[asyncio.Semaphore] = None
+
+
+def _get_semaphore() -> asyncio.Semaphore:
+    """Global concurrency cap (reference task_executor.py:9), created lazily
+    so it binds to the running event loop."""
+    global _semaphore
+    if _semaphore is None:
+        _semaphore = asyncio.Semaphore(config_mod.simultaneous_tasks_count)
+    return _semaphore
+
+
+def reset_semaphore() -> None:
+    """Recreate the global semaphore (e.g. after changing the cap, or a new
+    event loop in tests)."""
+    global _semaphore
+    _semaphore = None
+
+
+class Task:
+    """A single optimization task reporting its output to the Executor
+    (reference task_executor.py:13-42)."""
+
+    def __init__(self, content_n_style: ContentStylePair, config,
+                 task_id: str, report: Callable, job_done: Callable,
+                 engine=None):
+        self.__task_id = task_id
+        self.__report = report
+        self.__job_done_callback = job_done
+        self.__content_n_style = content_n_style
+        self.__config = config
+        self.__engine = engine or neural_style_transfer
+        self.job = asyncio.create_task(self.__do_job())
+
+    async def __do_job(self):
+        cfg = self.__config
+        async with _get_semaphore():
+            async for result in self.__engine(
+                    self.__content_n_style,
+                    cfg.content_weight, cfg.style_weight, cfg.tv_weight,
+                    cfg.optimizer, cfg.model, cfg.init_method,
+                    cfg.iters_num, cfg.levels_num, cfg.noise_factor,
+                    cfg.noise_levels, cfg.noise_levels_central_amplitude,
+                    cfg.noise_levels_peripheral_amplitude,
+                    cfg.noise_levels_dispersion):
+                result_copy = (result[0],
+                               result[1].copy() if result[1] is not None else None)
+                await self.__report(self.__task_id, result_copy)
+
+            await self.__job_done_callback(self.__task_id)
+
+
+class Executor:
+    """Executes optimization tasks and collects results
+    (reference task_executor.py:45-129)."""
+
+    def __init__(self, config, report_progress=None, engine=None,
+                 verbose: bool = True):
+        self.__tasks: Dict[str, Task] = {}
+        self.__progress: Dict[str, tuple] = {}
+        self.__config = config
+        self.__progress_lock = asyncio.Lock()
+        self.__tasks_lock = asyncio.Lock()
+        self.__report_progress = report_progress
+        self.__engine = engine
+        self.__verbose = verbose
+
+    async def get_progress(self, key):
+        async with self.__progress_lock:
+            value = self.__progress[key]
+            return (value[0], value[1].copy() if value[1] is not None else None)
+
+    async def progress(self):
+        async with self.__progress_lock:
+            for pr in self.__progress.items():
+                yield pr
+
+    async def task_ids(self):
+        async with self.__progress_lock:
+            return list(self.__progress.keys())
+
+    async def set_progress(self, key, value):
+        async with self.__progress_lock:
+            self.__progress[key] = (
+                value[0], value[1].copy() if value[1] is not None else None)
+
+    async def __print_progress(self):
+        if not self.__verbose:
+            return
+        async for task_id, p in self.progress():
+            print(f"Progress: {task_id}, {p[0]}")
+        print()
+
+    async def __report(self, task_id, result):
+        await self.set_progress(task_id, result)
+        await self.__print_progress()
+        if self.__report_progress is not None:
+            await self.__report_progress(task_id, result)
+
+    async def __job_done(self, task_id):
+        async with self.__tasks_lock:
+            if self.__verbose:
+                print(f"Task {task_id} done")
+            self.__tasks.pop(task_id)
+
+    async def add_task(self, task_id: str, content_n_style: ContentStylePair):
+        await self.set_progress(task_id, (-1, None))
+        async with self.__tasks_lock:
+            self.__tasks[task_id] = Task(
+                content_n_style, self.__config, task_id=task_id,
+                report=self.__report, job_done=self.__job_done,
+                engine=self.__engine)
+            if self.__verbose:
+                print(f"Task {task_id} run")
+            return self.__tasks[task_id].job
+
+    async def run(self, forever: bool = False):
+        """Wait for all live jobs; with forever=True keep polling for new
+        ones (reference task_executor.py:116-129, minus the blocking sleep)."""
+        while True:
+            while True:
+                async with self.__tasks_lock:
+                    jobs = [task.job for task in self.__tasks.values()]
+                if not jobs:
+                    break
+                await asyncio.wait(jobs)
+            if not forever:
+                return
+            await asyncio.sleep(1)

@@ -1,0 +1,135 @@
+"""Executor/Task scheduler tests with a fake (instant) engine."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.engine.transfer import ContentStylePair
+from artstyletransfer_tpu.runtime import executor as executor_mod
+from artstyletransfer_tpu.runtime.executor import Executor
+
+
+def fake_engine_factory(n_yields=5, concurrency_probe=None, delay=0.0):
+    async def fake_engine(pair, content_weight, style_weight, tv_weight,
+                          optimizer, model, init_method, iters_num,
+                          levels_num, noise_factor, noise_levels,
+                          noise_levels_central_amplitude,
+                          noise_levels_peripheral_amplitude,
+                          noise_levels_dispersion):
+        if concurrency_probe is not None:
+            concurrency_probe["live"] += 1
+            concurrency_probe["max"] = max(concurrency_probe["max"],
+                                           concurrency_probe["live"])
+        try:
+            for i in range(n_yields):
+                if delay:
+                    await asyncio.sleep(delay)
+                else:
+                    await asyncio.sleep(0)
+                pct = (i + 1) / n_yields * 100.0
+                yield pct, np.full((4, 4, 3), pct / 100.0, np.float32)
+        finally:
+            if concurrency_probe is not None:
+                concurrency_probe["live"] -= 1
+
+    return fake_engine
+
+
+@pytest.fixture(autouse=True)
+def fresh_semaphore():
+    executor_mod.reset_semaphore()
+    yield
+    executor_mod.reset_semaphore()
+
+
+def _pair(name="a"):
+    img = np.zeros((4, 4, 3), np.float32)
+    return ContentStylePair((f"c_{name}", img), (f"s_{name}", img))
+
+
+def test_task_lifecycle_and_progress():
+    cfg = Config(iters_num=5)
+    ex = Executor(cfg, engine=fake_engine_factory(5), verbose=False)
+
+    async def go():
+        await ex.add_task("t1", _pair())
+        # seeded with (-1, None) before any progress (ref task_executor.py:109)
+        pct, img = await ex.get_progress("t1")
+        assert pct == -1 and img is None
+        await ex.run()
+        pct, img = await ex.get_progress("t1")
+        assert pct == 100.0
+        assert img.shape == (4, 4, 3)
+        assert await ex.task_ids() == ["t1"]
+
+    asyncio.run(go())
+
+
+def test_progress_returns_copies():
+    cfg = Config()
+    ex = Executor(cfg, engine=fake_engine_factory(2), verbose=False)
+
+    async def go():
+        await ex.add_task("t1", _pair())
+        await ex.run()
+        _, img1 = await ex.get_progress("t1")
+        img1[:] = -1  # mutating the copy must not affect stored progress
+        _, img2 = await ex.get_progress("t1")
+        assert (img2 >= 0).all()
+
+    asyncio.run(go())
+
+
+def test_semaphore_caps_concurrency():
+    probe = {"live": 0, "max": 0}
+    cfg = Config()
+    ex = Executor(cfg, engine=fake_engine_factory(3, probe, delay=0.01),
+                  verbose=False)
+
+    async def go():
+        for i in range(6):
+            await ex.add_task(f"t{i}", _pair(str(i)))
+        await ex.run()
+
+    asyncio.run(go())
+    from artstyletransfer_tpu.config import simultaneous_tasks_count
+
+    assert probe["max"] <= simultaneous_tasks_count
+    assert probe["live"] == 0
+
+
+def test_report_callback_invoked():
+    seen = []
+
+    async def cb(task_id, result):
+        seen.append((task_id, result[0]))
+
+    cfg = Config()
+    ex = Executor(cfg, engine=fake_engine_factory(4), report_progress=cb,
+                  verbose=False)
+
+    async def go():
+        await ex.add_task("tx", _pair())
+        await ex.run()
+
+    asyncio.run(go())
+    assert [p for _, p in seen] == [25.0, 50.0, 75.0, 100.0]
+    assert all(t == "tx" for t, _ in seen)
+
+
+def test_run_forever_processes_late_tasks():
+    cfg = Config()
+    ex = Executor(cfg, engine=fake_engine_factory(2), verbose=False)
+
+    async def go():
+        runner = asyncio.create_task(ex.run(forever=True))
+        await ex.add_task("early", _pair())
+        await asyncio.sleep(0.05)
+        await ex.add_task("late", _pair("late"))
+        await asyncio.sleep(0.05)
+        assert (await ex.get_progress("late"))[0] == 100.0
+        runner.cancel()
+
+    asyncio.run(go())
