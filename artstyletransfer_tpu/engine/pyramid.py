@@ -30,8 +30,15 @@ def level_shape(h: int, w: int, level: int, base_diameter: int = 256) -> Tuple[i
     return base_height * (2 ** level), base_width * (2 ** level)
 
 
+MIN_LEVEL0_SIDE = 16  # below this, VGG19's relu5_1 tap (stride 16) is empty
+
+
 def resize_to_level(img: np.ndarray, level: int, base_diameter: int = 256) -> np.ndarray:
     """Resize an HWC image so its shortest side is base_diameter * 2^level."""
+    if base_diameter < MIN_LEVEL0_SIDE:
+        raise ValueError(
+            f"base_diameter must be >= {MIN_LEVEL0_SIDE} (VGG19 downsamples "
+            f"16x; smaller level-0 images produce empty feature maps)")
     h, w = img.shape[:2]
     nh, nw = level_shape(h, w, level, base_diameter)
     return bicubic_resize_np(img.astype(np.float32), nh, nw)

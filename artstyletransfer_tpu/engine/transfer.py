@@ -128,6 +128,19 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
 _COMPILE_CACHE: Dict[Any, Any] = {}
 
 
+class Runners(NamedTuple):
+    """Compiled (and raw, for vmapping) step functions for one shape bucket."""
+
+    init: Any
+    chunk: Any
+    metrics: Any
+    targets: Any
+    raw_init: Any
+    raw_chunk: Any
+    raw_metrics: Any
+    raw_targets: Any
+
+
 def _config_key(cfg: Config, level_shapes) -> tuple:
     return (tuple(level_shapes), cfg.content_weight, cfg.style_weight,
             cfg.tv_weight, cfg.optimizer, cfg.compute_dtype,
@@ -158,7 +171,7 @@ def _build_runners(cfg: Config, level_shapes):
         opt = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
         def init_fn(params, targets, x):
-            return opt.init(x), jnp.int32(0)
+            return opt.init(x)
 
         def one_step(params, targets, x, opt_state, step):
             f, g = loss_grad(params, targets, x)
@@ -170,7 +183,7 @@ def _build_runners(cfg: Config, level_shapes):
 
         def init_fn(params, targets, x):
             lg = partial(loss_grad, params, targets)
-            return lbfgs_mod.init_state(lg, x, cfg.lbfgs_history), jnp.int32(0)
+            return lbfgs_mod.init_state(lg, x, cfg.lbfgs_history)
 
         def one_step(params, targets, x, opt_state, step):
             lg = partial(loss_grad, params, targets)
@@ -195,12 +208,17 @@ def _build_runners(cfg: Config, level_shapes):
         total, per_level = loss_fn(params, targets, x)
         return total, [(l.total, l.content, l.style, l.tv) for l in per_level]
 
-    jit_chunk = jax.jit(chunk_fn, static_argnums=(5,), donate_argnums=(2, 3))
-    jit_init = jax.jit(init_fn)
-    jit_metrics = jax.jit(metrics_fn)
-    jit_targets = jax.jit(partial(_compute_targets, cfg=cfg))
-
-    runners = (jit_init, jit_chunk, jit_metrics, jit_targets)
+    targets_fn = partial(_compute_targets, cfg=cfg)
+    runners = Runners(
+        init=jax.jit(init_fn),
+        chunk=jax.jit(chunk_fn, static_argnums=(5,), donate_argnums=(2, 3)),
+        metrics=jax.jit(metrics_fn),
+        targets=jax.jit(targets_fn),
+        raw_init=init_fn,
+        raw_chunk=chunk_fn,
+        raw_metrics=metrics_fn,
+        raw_targets=targets_fn,
+    )
     _COMPILE_CACHE[key] = runners
     return runners
 
@@ -229,9 +247,11 @@ class TransferJob:
         c_pre = [jnp.asarray(prepare_img(c)) for c in content_levels]
         s_pre = [jnp.asarray(prepare_img(s)) for s in style_levels]
 
-        (self._init_fn, self._chunk_fn, self._metrics_fn,
-         targets_fn) = _build_runners(cfg, tuple(self.level_shapes))
-        self.targets = targets_fn(self.params, c_pre, s_pre)
+        runners = _build_runners(cfg, tuple(self.level_shapes))
+        self._init_fn = runners.init
+        self._chunk_fn = runners.chunk
+        self._metrics_fn = runners.metrics
+        self.targets = runners.targets(self.params, c_pre, s_pre)
 
         if init_override is not None:
             init_img = init_override
@@ -255,8 +275,10 @@ class TransferJob:
         chunk = stream_every if stream_every is not None else cfg.stream_every
         chunk = max(1, min(chunk, iters))
 
-        x = self._x0
-        opt_state, _ = self._init_fn(self.params, self.targets, x)
+        # fresh copy: the chunk runner donates its image buffer, and _x0
+        # must survive so the job can be re-run
+        x = jnp.array(self._x0, copy=True)
+        opt_state = self._init_fn(self.params, self.targets, x)
         done = 0
         while done < iters:
             k = min(chunk, iters - done)

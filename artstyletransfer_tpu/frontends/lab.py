@@ -1,0 +1,147 @@
+"""Web lab frontend: live progress grid for a batch of style-transfer jobs.
+
+Reference parity (reference lab.py): on startup a background task enqueues
+the demo content x style pairs (reference lab.py:79-107); route `/` renders
+a progress-card page (reference lab.py:125-142); route `/generated/<id>`
+serves the latest intermediate image JPEG-encoded at quality 75 (reference
+lab.py:145-164); server binds 0.0.0.0:8080 (reference lab.py:167-168).
+
+Built on aiohttp + jinja2 (the reference used Quart, which is not a
+dependency of this framework). The demo pair list and preset selection
+match reference lab.py:17-100.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import os
+import uuid
+
+from aiohttp import web
+import jinja2
+
+from ..config import PRESETS, STANDARD_GAUSS_NOISE_CONFIG
+from ..engine.transfer import ContentStylePair
+from ..runtime.executor import Executor
+from ..utils.image import encode_jpeg, load_image
+
+# The demo batch (reference lab.py:79-100).
+CONTENT_STYLE_FILENAME_PAIRS = [
+    ("bird.jpg", "cubism2.jpg"),
+    ("bird.jpg", "matisse2.jpg"),
+    ("bird.jpg", "expressive.jpg"),
+    ("bird.jpg", "starry_night.jpg"),
+    ("car.jpg", "mosaic.jpg"),
+    ("car.jpg", "expressive.jpg"),
+    ("car.jpg", "matisse2.jpg"),
+    ("car.jpg", "cubism2.jpg"),
+    ("columns.jpg", "cubism1.jpg"),
+    ("columns.jpg", "cubism2.jpg"),
+    ("columns.jpg", "cubism3.jpg"),
+    ("columns.jpg", "matisse2.jpg"),
+    ("girl_with_gun.jpg", "mona_lisa.jpg"),
+    ("girl_with_gun.jpg", "mosaic.jpg"),
+    ("girl_with_gun.jpg", "starry_night.jpg"),
+    ("girl_with_gun.jpg", "cubism1.jpg"),
+    ("lion.jpg", "mona_lisa.jpg"),
+    ("lion.jpg", "mosaic.jpg"),
+    ("lion.jpg", "starry_night.jpg"),
+    ("lion.jpg", "cubism1.jpg"),
+]
+
+_TEMPLATE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "templates")
+
+
+def default_data_dir() -> str:
+    return os.environ.get(
+        "ASTT_DATA_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "..", "data"))
+
+
+def create_app(config=None, data_dir: str = None, pairs=None,
+               autostart: bool = True, engine=None) -> web.Application:
+    """Build the lab application. `engine`/`pairs` are injectable for tests."""
+    config = config or STANDARD_GAUSS_NOISE_CONFIG
+    data_dir = data_dir or default_data_dir()
+    pairs = pairs if pairs is not None else CONTENT_STYLE_FILENAME_PAIRS
+
+    executor = Executor(config, engine=engine, verbose=False)
+    env = jinja2.Environment(
+        loader=jinja2.FileSystemLoader(_TEMPLATE_DIR), autoescape=True)
+
+    async def backend_task(app):
+        content_dir = os.path.join(data_dir, "content-images")
+        style_dir = os.path.join(data_dir, "style-images")
+        for c_name, s_name in pairs:
+            content = load_image(os.path.join(content_dir, c_name))
+            style = load_image(os.path.join(style_dir, s_name))
+            await executor.add_task(
+                str(uuid.uuid4()),
+                ContentStylePair((c_name, content), (s_name, style)))
+
+    async def index(request: web.Request) -> web.Response:
+        cards = []
+        for image_id in await executor.task_ids():
+            percent, _img = await executor.get_progress(image_id)
+            percent = percent if percent > 0 else 0
+            cards.append({
+                "image_id": image_id,
+                "percent": percent,
+                "cur_iter": percent / 100.0 * config.iters_num,
+                "iters_num": config.iters_num,
+            })
+        html = env.get_template("index.html").render(cards=cards)
+        return web.Response(text=html, content_type="text/html")
+
+    async def serve_image(request: web.Request) -> web.Response:
+        image_id = request.match_info["image_id"]
+        try:
+            _percent, img = await executor.get_progress(image_id)
+        except KeyError:
+            raise web.HTTPNotFound(text="No such task")
+        if img is None:
+            return web.Response(text="No image yet")
+        return web.Response(body=encode_jpeg(img, quality=75),
+                            content_type="image/jpg")
+
+    async def on_startup(app):
+        if autostart:
+            app["backend"] = asyncio.create_task(backend_task(app))
+        app["runner"] = asyncio.create_task(executor.run(forever=True))
+
+    async def on_cleanup(app):
+        for key in ("backend", "runner"):
+            task = app.get(key)
+            if task is not None:
+                task.cancel()
+
+    app = web.Application()
+    app["executor"] = executor
+    app.router.add_get("/", index)
+    app.router.add_get("/generated/{image_id}", serve_image)
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="astt-lab")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--preset", choices=sorted(PRESETS),
+                        default="standard")
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--no-autostart", action="store_true",
+                        help="do not enqueue the demo batch on startup")
+    args = parser.parse_args(argv)
+    app = create_app(config=PRESETS[args.preset], data_dir=args.data_dir,
+                     autostart=not args.no_autostart)
+    web.run_app(app, host=args.host, port=args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

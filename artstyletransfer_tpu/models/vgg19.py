@@ -78,16 +78,22 @@ Params = Dict[str, Dict[str, jax.Array]]
 
 def _conv2d_same(x: jax.Array, w: jax.Array, b: jax.Array,
                  compute_dtype: jnp.dtype) -> jax.Array:
-    """3x3 stride-1 SAME convolution in NHWC/HWIO with f32 accumulation."""
+    """3x3 stride-1 SAME convolution in NHWC/HWIO.
+
+    Activations stay in compute_dtype end-to-end (the MXU accumulates in
+    f32 internally regardless; keeping the output in compute_dtype keeps
+    forward and transpose conv dtypes consistent so autodiff works, and in
+    bf16 mode halves HBM traffic). Taps are upcast to f32 at the loss
+    boundary (extract_features).
+    """
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + b.astype(jnp.float32)
+    return y + b.astype(compute_dtype)
 
 
 def _maxpool2(x: jax.Array) -> jax.Array:
@@ -126,10 +132,10 @@ def extract_features(params: Params, x: jax.Array,
         p = params[name]
         h = _conv2d_same(h, p["w"], p["b"], cdt)
         if name in pre_wanted:
-            taps[pre_wanted[name]] = h
+            taps[pre_wanted[name]] = h.astype(jnp.float32)
         h = jax.nn.relu(h)
         if name in post_wanted:
-            taps[post_wanted[name]] = h
+            taps[post_wanted[name]] = h.astype(jnp.float32)
         if name == "conv5_1":
             break  # nothing past relu5_1 is ever used
 

@@ -1,0 +1,204 @@
+"""Pallas TPU kernels for the style-transfer hot ops.
+
+The reference delegates these to cuBLAS/libtorch (reference math_utils.py:31
+`bmm` for Grams, math_utils.py:37-41 for TV). Here they are hand-written TPU
+kernels:
+
+- gram: accumulates G += X_tile^T X_tile over row tiles of the (hw, c)
+  feature matrix in a VMEM scratch accumulator, normalizing on the last
+  tile — one pass over HBM, MXU contraction, no intermediate (hw, c) copy.
+- tv: one pass over the image computing both |dx| and |dy| partial sums per
+  block without materializing the difference tensors.
+
+Both ops carry custom VJPs (closed forms) so they are usable inside the
+jitted, differentiated optimization step. Kernels require TPU-compatible
+tilings (last dim a multiple of 128, etc.); `gram_supported`/`tv_supported`
+report whether a given shape qualifies, and callers fall back to the XLA
+versions (ops/gram.py, ops/tv.py) otherwise. Tests run the kernels in
+interpreter mode on CPU against the XLA versions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# Fused Gram matrix
+# ---------------------------------------------------------------------------
+
+
+def _pick_row_tile(n: int, max_tile: int = 4096) -> int:
+    """Largest multiple-of-8 divisor of n up to max_tile (0 if none)."""
+    best = 0
+    for tile in range(8, min(n, max_tile) + 1, 8):
+        if n % tile == 0:
+            best = tile
+    return best
+
+
+def gram_supported(shape) -> bool:
+    b, h, w, c = shape
+    return c % 128 == 0 and _pick_row_tile(h * w) >= 8
+
+
+def _gram_kernel(x_ref, o_ref, acc_ref, *, scale: float):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # (TILE_N, C)
+    acc_ref[:] += lax.dot_general(
+        x, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = acc_ref[:] * scale
+
+
+def _gram_fwd_impl(x: jax.Array, should_normalize: bool,
+                   interpret: bool) -> jax.Array:
+    b, h, w, c = x.shape
+    n = h * w
+    tile = _pick_row_tile(n)
+    scale = 1.0 / (c * h * w) if should_normalize else 1.0
+
+    def one(xb):
+        feats = xb.reshape(n, c)
+        return pl.pallas_call(
+            partial(_gram_kernel, scale=scale),
+            grid=(n // tile,),
+            in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((c, c), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, c), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((c, c), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * c * c, bytes_accessed=n * c * 4 + c * c * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(feats)
+
+    return jax.vmap(one)(x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def gram_pallas(x: jax.Array, should_normalize: bool = True,
+                interpret: bool = False) -> jax.Array:
+    """Fused Gram of an NHWC feature map -> (b, c, c) float32."""
+    return _gram_fwd_impl(x, should_normalize, interpret)
+
+
+def _gram_vjp_fwd(x, should_normalize, interpret):
+    return _gram_fwd_impl(x, should_normalize, interpret), x
+
+
+def _gram_vjp_bwd(should_normalize, interpret, x, g):
+    # G = s * F^T F with F = reshape(x, (n, c))  =>
+    # dF = s * F (G_bar + G_bar^T),  s = 1/(c h w) if normalizing
+    b, h, w, c = x.shape
+    scale = 1.0 / (c * h * w) if should_normalize else 1.0
+    g_sym = (g + jnp.swapaxes(g, -1, -2)) * scale
+    feats = x.reshape(b, h * w, c).astype(jnp.float32)
+    dfeats = jnp.einsum("bnc,bcd->bnd", feats, g_sym,
+                        preferred_element_type=jnp.float32)
+    return (dfeats.reshape(x.shape).astype(x.dtype),)
+
+
+gram_pallas.defvjp(_gram_vjp_fwd, _gram_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused total variation
+# ---------------------------------------------------------------------------
+
+
+_TV_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom in the ~16MB VMEM
+
+
+def tv_supported(shape) -> bool:
+    b, h, w, c = shape
+    return (b == 1 and h >= 2 and w >= 2
+            and h * w * c * 4 <= _TV_VMEM_BUDGET)
+
+
+def _tv_kernel(y_ref, sx_ref, sy_ref):
+    """Whole image resident in VMEM: both TV partial sums in one pass,
+    no materialized difference tensors in HBM."""
+    y = y_ref[:]  # (h, w, c)
+    sx_ref[0, 0] = jnp.sum(jnp.abs(y[:, :-1, :] - y[:, 1:, :]))
+    sy_ref[0, 0] = jnp.sum(jnp.abs(y[:-1, :, :] - y[1:, :, :]))
+
+
+def tv_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
+    """Squared-mean TV (reference semantics) as one fused VMEM pass.
+
+    Valid for VMEM-fitting images (tv_supported); larger levels use the XLA
+    version. Differentiable via the closed-form VJP below.
+    """
+    return _tv_impl(y, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tv_impl(y, interpret):
+    b, h, w, c = y.shape
+    sx, sy = pl.pallas_call(
+        _tv_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        interpret=interpret,
+    )(y[0])
+    mean_x = sx[0, 0] / (h * (w - 1) * c)
+    mean_y = sy[0, 0] / ((h - 1) * w * c)
+    return mean_x * mean_x + mean_y * mean_y
+
+
+def _tv_vjp_fwd(y, interpret):
+    b, h, w, c = y.shape
+    dx = y[:, :, :-1, :] - y[:, :, 1:, :]
+    dy = y[:, :-1, :, :] - y[:, 1:, :, :]
+    mean_x = jnp.mean(jnp.abs(dx))
+    mean_y = jnp.mean(jnp.abs(dy))
+    return mean_x * mean_x + mean_y * mean_y, (y, mean_x, mean_y)
+
+
+def _tv_vjp_bwd(interpret, res, g):
+    # d/dy [(mean|dx|)^2 + (mean|dy|)^2]
+    #   = 2*mean_x * d(mean|dx|)/dy + 2*mean_y * d(mean|dy|)/dy
+    y, mean_x, mean_y = res
+    return (g * (2.0 * mean_x) * _dx_part(y)
+            + g * (2.0 * mean_y) * _dy_part(y),)
+
+
+def _dx_part(y):
+    b, h, w, c = y.shape
+    sx = jnp.sign(y[:, :, :-1, :] - y[:, :, 1:, :]) / (b * h * (w - 1) * c)
+    grad = jnp.zeros_like(y)
+    grad = grad.at[:, :, :-1, :].add(sx)
+    grad = grad.at[:, :, 1:, :].add(-sx)
+    return grad
+
+
+def _dy_part(y):
+    b, h, w, c = y.shape
+    sy = jnp.sign(y[:, :-1, :, :] - y[:, 1:, :, :]) / (b * (h - 1) * w * c)
+    grad = jnp.zeros_like(y)
+    grad = grad.at[:, :-1, :, :].add(sy)
+    grad = grad.at[:, 1:, :, :].add(-sy)
+    return grad
+
+
+_tv_impl.defvjp(_tv_vjp_fwd, _tv_vjp_bwd)

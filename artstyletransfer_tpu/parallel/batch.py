@@ -1,0 +1,221 @@
+"""Batched multi-job style transfer over a TPU device mesh.
+
+The reference's throughput model is "N independent jobs, at most 2 at a time
+on one GPU" (reference config.py:1, task_executor.py:9,30). The TPU-native
+upgrade: same-shape jobs are STACKED into one batch, the whole optimization
+step is vmapped over the job axis, and the batch is sharded across a device
+mesh — `jobs` axis for job data-parallelism, optional `space` axis sharding
+each job's flattened pixel vector so very large jobs spread across chips'
+HBM. There is no inter-job communication; per-job reductions (loss dots,
+Gram contractions) cross the `space` axis only, and XLA inserts the psums
+over ICI automatically from the input shardings.
+
+Shape bucketing: a batch requires identical content shapes and identical
+style shapes across jobs. `bucket_jobs` groups an arbitrary job queue into
+such buckets (aspect-ratio buckets recompile once each and then stream).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..engine.transfer import _build_runners
+from ..engine.init_pipeline import build_init_image
+from ..engine.pyramid import build_input_pyramids
+from ..models.weights import load_vgg19_params
+from ..utils.image import prepare_img, unprepare_img
+
+_BATCH_CACHE: Dict[Any, Any] = {}
+
+
+def _build_batched_runners(cfg: Config, level_shapes: tuple):
+    """vmapped (init_fn, chunk_fn) over the leading job axis."""
+    key = ("batched",) + tuple(level_shapes) + (
+        cfg.content_weight, cfg.style_weight, cfg.tv_weight, cfg.optimizer,
+        cfg.compute_dtype, cfg.lr_start, cfg.lr_decay, cfg.lbfgs_history,
+        cfg.lbfgs_max_ls_steps, cfg.remat_levels)
+    if key in _BATCH_CACHE:
+        return _BATCH_CACHE[key]
+
+    runners = _build_runners(cfg, tuple(level_shapes))
+
+    # vmap over (targets, x, opt_state); params and the step counter are
+    # shared across jobs.
+    def batched_init(params, targets, x):
+        return jax.vmap(lambda t, xx: runners.raw_init(params, t, xx))(
+            targets, x)
+
+    def batched_chunk(params, targets, x, opt_state, start_step, n_steps):
+        return jax.vmap(
+            lambda t, xx, st: runners.raw_chunk(params, t, xx, st,
+                                                start_step, n_steps)
+        )(targets, x, opt_state)
+
+    def batched_targets(params, c_levels, s_levels):
+        return jax.vmap(lambda c, s: runners.raw_targets(params, c, s))(
+            c_levels, s_levels)
+
+    compiled = (jax.jit(batched_init),
+                jax.jit(batched_chunk, static_argnums=(5,),
+                        donate_argnums=(2, 3)),
+                jax.jit(batched_targets))
+    _BATCH_CACHE[key] = compiled
+    return compiled
+
+
+class BatchedTransferJob:
+    """N same-shape style-transfer jobs as one sharded batch."""
+
+    def __init__(self, contents: Sequence[np.ndarray],
+                 styles: Sequence[np.ndarray], cfg: Config, params=None,
+                 mesh: Optional[Mesh] = None,
+                 shard_space: bool = False,
+                 init_overrides: Optional[Sequence[np.ndarray]] = None):
+        assert len(contents) == len(styles) and contents
+        self.cfg = cfg
+        self.batch = len(contents)
+        self.mesh = mesh
+        self.params = params if params is not None else load_vgg19_params(
+            seed=cfg.seed)
+        if cfg.model != "vgg19":
+            raise ValueError(f"{cfg.model} not supported.")
+
+        c0 = contents[0].shape
+        s0 = styles[0].shape
+        for c, s in zip(contents, styles):
+            if c.shape != c0 or s.shape != s0:
+                raise ValueError("all jobs in a batch must share shapes; "
+                                 "use bucket_jobs() to group them")
+
+        # Pad the batch to a multiple of the mesh's jobs axis by replicating
+        # the last job; padded results are dropped in run().
+        self.real_batch = self.batch
+        contents = list(contents)
+        styles = list(styles)
+        init_overrides = list(init_overrides) if init_overrides else None
+        if mesh is not None and "jobs" in mesh.axis_names:
+            n_jobs_axis = mesh.shape["jobs"]
+            while len(contents) % n_jobs_axis != 0:
+                contents.append(contents[-1])
+                styles.append(styles[-1])
+                if init_overrides:
+                    init_overrides.append(init_overrides[-1])
+            self.batch = len(contents)
+
+        # per-job pyramids, stacked along a new leading axis
+        c_stack: List[List[np.ndarray]] = []
+        s_stack: List[List[np.ndarray]] = []
+        x0 = []
+        for i, (c, s) in enumerate(zip(contents, styles)):
+            c_lvls, s_lvls = build_input_pyramids(
+                c, s, cfg.levels_num, cfg.base_diameter)
+            c_stack.append([prepare_img(im) for im in c_lvls])
+            s_stack.append([prepare_img(im) for im in s_lvls])
+            if init_overrides is not None:
+                init_img = init_overrides[i]
+            else:
+                init_img, _ = build_init_image(
+                    cfg.init_method, c, s, cfg,
+                    rng=np.random.default_rng(cfg.seed + i))
+            x0.append(prepare_img(init_img).reshape(-1))
+
+        self.level_shapes = [tuple(arr.shape) for arr in c_stack[0]]
+        n_levels = len(self.level_shapes)
+        c_batched = [np.stack([c_stack[b][l] for b in range(self.batch)])
+                     for l in range(n_levels)]
+        s_batched = [np.stack([s_stack[b][l] for b in range(self.batch)])
+                     for l in range(n_levels)]
+        x0 = np.stack(x0)  # (B, n)
+
+        jit_init, jit_chunk, jit_targets = _build_batched_runners(
+            cfg, tuple(self.level_shapes))
+        self._init_fn, self._chunk_fn = jit_init, jit_chunk
+
+        # Place data on the mesh; shardings then propagate through every
+        # jitted computation (params replicated, batch on 'jobs', pixels
+        # optionally on 'space').
+        if mesh is not None:
+            job_axes = P("jobs")
+            use_space = (shard_space and "space" in mesh.axis_names
+                         and x0.shape[1] % mesh.shape["space"] == 0)
+            x_axes = P("jobs", "space" if use_space else None)
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, P()))
+            c_batched = [jax.device_put(a, NamedSharding(mesh, job_axes))
+                         for a in c_batched]
+            s_batched = [jax.device_put(a, NamedSharding(mesh, job_axes))
+                         for a in s_batched]
+            x0 = jax.device_put(x0, NamedSharding(mesh, x_axes))
+
+        self.targets = jit_targets(self.params, c_batched, s_batched)
+        self._x0 = jnp.asarray(x0)
+
+    def run(self, iters_num: Optional[int] = None,
+            stream_every: Optional[int] = None
+            ) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+        """Yields (steps_done, images (B,H,W,3) [0,1]-domain, losses (B,))."""
+        cfg = self.cfg
+        iters = iters_num if iters_num is not None else cfg.iters_num
+        chunk = stream_every if stream_every is not None else cfg.stream_every
+        chunk = max(1, min(chunk, iters))
+
+        # fresh copy: the chunk runner donates its image buffer, and _x0
+        # must survive so the batch can be re-run
+        x = jnp.array(self._x0, copy=True)
+        opt_state = self._init_fn(self.params, self.targets, x)
+        done = 0
+        top = self.level_shapes[0]  # (1, H, W, 3) per job
+        while done < iters:
+            k = min(chunk, iters - done)
+            x, opt_state, f = self._chunk_fn(
+                self.params, self.targets, x, opt_state,
+                jnp.int32(done), int(k))
+            done += k
+            imgs = np.asarray(x).reshape((self.batch,) + top[1:])
+            imgs = np.stack([unprepare_img(im)
+                             for im in imgs[:self.real_batch]])
+            yield done, imgs, np.asarray(f)[:self.real_batch]
+
+
+def bucket_jobs(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]]
+                ) -> Dict[tuple, List[Tuple[str, np.ndarray, np.ndarray]]]:
+    """Group (task_id, content, style) jobs by (content.shape, style.shape)."""
+    buckets: Dict[tuple, list] = defaultdict(list)
+    for job in jobs:
+        buckets[(job[1].shape, job[2].shape)].append(job)
+    return dict(buckets)
+
+
+def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
+                  cfg: Config, params=None, mesh: Optional[Mesh] = None,
+                  shard_space: bool = False, progress=None
+                  ) -> Dict[str, np.ndarray]:
+    """Run an arbitrary job queue: bucket by shape, batch each bucket across
+    the mesh, stream progress, return {task_id: final image}.
+
+    This is the TPU replacement for the reference's semaphore-throttled
+    sequential queue (reference task_executor.py): a full 20-pair lab run
+    becomes a handful of sharded batches instead of 10 serialized rounds.
+    """
+    params = params if params is not None else load_vgg19_params(seed=cfg.seed)
+    results: Dict[str, np.ndarray] = {}
+    for bucket in bucket_jobs(jobs).values():
+        ids = [j[0] for j in bucket]
+        batch = BatchedTransferJob(
+            [j[1] for j in bucket], [j[2] for j in bucket], cfg,
+            params=params, mesh=mesh, shard_space=shard_space)
+        for done, imgs, losses in batch.run():
+            if progress is not None:
+                pct = done / cfg.iters_num * 100.0
+                for i, tid in enumerate(ids):
+                    progress(tid, pct, imgs[i], float(losses[i]))
+        for i, tid in enumerate(ids):
+            results[tid] = imgs[i]
+    return results

@@ -1,0 +1,164 @@
+"""Benchmark: optimizer steps/sec on the 3-level 1024px pyramid transfer.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+- "value": steps/sec of this framework's jitted engine on the current JAX
+  platform (the real TPU chip when run by the driver).
+- "vs_baseline": value / (PyTorch-CPU steps/sec of the same math). The
+  reference publishes no numbers (BASELINE.md), so the baseline is measured
+  here by running the torch twin (artstyletransfer_tpu/baselines/torch_ref.py
+  — same VGG19 weights, same pyramid loss, same optimizer) on CPU, then
+  cached in BENCH_BASELINE_CACHE.json so later rounds skip the slow CPU run.
+
+Config selection (env ASTT_BENCH_CONFIG):
+  "3level1024" (default) — BASELINE.json configs[2] shape class
+  "1level256"             — configs[0], CPU-runnable sanity config
+  "2level512"             — configs[1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_CONFIGS = {
+    "1level256": dict(levels_num=1, base_diameter=256),
+    "2level512": dict(levels_num=2, base_diameter=256),
+    "3level1024": dict(levels_num=3, base_diameter=256),
+}
+
+CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_BASELINE_CACHE.json")
+
+CONTENT_PATH = "/root/reference/data/content-images/bird.jpg"
+STYLE_PATH = "/root/reference/data/style-images/cubism2.jpg"
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def load_images():
+    from artstyletransfer_tpu.utils.image import load_image
+
+    if os.path.exists(CONTENT_PATH):
+        return load_image(CONTENT_PATH), load_image(STYLE_PATH)
+    rng = np.random.default_rng(0)
+    log("bench: reference images unavailable, using synthetic 1024x1536")
+    return (rng.random((1024, 1536, 3)).astype(np.float32),
+            rng.random((1024, 1024, 3)).astype(np.float32))
+
+
+def measure_ours(content, style, cfg, n_steps=30, chunk=10) -> float:
+    from artstyletransfer_tpu.engine.transfer import TransferJob
+
+    t0 = time.time()
+    job = TransferJob(content, style, cfg)
+    log(f"bench: job setup {time.time() - t0:.1f}s; "
+        f"pyramid {job.level_shapes}")
+
+    # warmup: compile + first chunk
+    t0 = time.time()
+    it = job.run(iters_num=n_steps + chunk, stream_every=chunk)
+    next(it)
+    log(f"bench: compile+warmup chunk {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    done = chunk
+    for done, img, f in it:
+        pass
+    dt = time.time() - t0
+    steps = done - chunk
+    log(f"bench: {steps} steps in {dt:.2f}s, final loss {f:.4e}")
+    return steps / dt
+
+
+def measure_torch_baseline(content, style, cfg, n_steps=3) -> float:
+    """PyTorch-CPU steps/sec of the same pyramid loss + Adam (cached)."""
+    key = f"{cfg.levels_num}x{cfg.base_diameter}-{cfg.optimizer}"
+    if os.path.exists(CACHE_FILE):
+        with open(CACHE_FILE) as f:
+            cache = json.load(f)
+        if key in cache:
+            log(f"bench: torch baseline from cache: {cache[key]:.4f} steps/s")
+            return cache[key]
+    else:
+        cache = {}
+
+    import torch
+
+    from artstyletransfer_tpu.baselines.torch_ref import (
+        TorchPyramidLoss,
+        TorchVgg19,
+        run_steps,
+    )
+    from artstyletransfer_tpu.engine.pyramid import build_input_pyramids
+    from artstyletransfer_tpu.models.weights import load_vgg19_params
+    from artstyletransfer_tpu.utils.image import prepare_img
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    params = load_vgg19_params(seed=cfg.seed)
+    c_lvls, s_lvls = build_input_pyramids(content, style, cfg.levels_num,
+                                          cfg.base_diameter)
+    to_nchw = lambda a: np.ascontiguousarray(  # noqa: E731
+        np.transpose(prepare_img(a), (0, 3, 1, 2)))
+    t0 = time.time()
+    tl = TorchPyramidLoss(TorchVgg19(params),
+                          [to_nchw(c) for c in c_lvls],
+                          [to_nchw(s) for s in s_lvls],
+                          cfg.content_weight, cfg.style_weight, cfg.tv_weight)
+    log(f"bench: torch target setup {time.time() - t0:.1f}s")
+
+    init = to_nchw(c_lvls[0])
+    # warmup one step, then time
+    run_steps(tl, init, 1, optimizer="adam", lr_start=cfg.lr_start)
+    t0 = time.time()
+    run_steps(tl, init, n_steps, optimizer="adam", lr_start=cfg.lr_start)
+    sps = n_steps / (time.time() - t0)
+    log(f"bench: torch-CPU {sps:.4f} steps/s")
+
+    cache[key] = sps
+    with open(CACHE_FILE, "w") as f:
+        json.dump(cache, f, indent=1)
+    return sps
+
+
+def main():
+    from artstyletransfer_tpu.config import Config
+
+    name = os.environ.get("ASTT_BENCH_CONFIG", "3level1024")
+    n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "30"))
+    overrides = BENCH_CONFIGS[name]
+    cfg = Config(optimizer="adam", stream_every=10, init_method="content+noise",
+                 **overrides)
+    content, style = load_images()
+
+    import jax
+
+    log(f"bench: platform {jax.devices()[0].platform} "
+        f"({jax.devices()[0].device_kind}), config {name}")
+
+    ours = measure_ours(content, style, cfg, n_steps=n_steps)
+    try:
+        baseline = measure_torch_baseline(content, style, cfg)
+        vs = ours / baseline if baseline > 0 else float("nan")
+    except Exception as e:  # keep the bench result even if torch fails
+        log(f"bench: torch baseline failed: {e}")
+        vs = float("nan")
+
+    print(json.dumps({
+        "metric": f"optimizer steps/sec, {name} pyramid transfer "
+                  f"(adam, vgg19, bird+cubism)",
+        "value": round(ours, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

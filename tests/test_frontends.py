@@ -1,0 +1,172 @@
+"""Frontend tests: web lab routes (aiohttp test client) and the Telegram bot
+handler logic (fake transport), both with an instant fake engine."""
+
+import asyncio
+import io
+
+import numpy as np
+import pytest
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.runtime import executor as executor_mod
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from artstyletransfer_tpu.frontends.lab import create_app  # noqa: E402
+from artstyletransfer_tpu.frontends import tlbot as tlbot_mod  # noqa: E402
+from artstyletransfer_tpu.frontends.tlbot import StyleTransferBot  # noqa: E402
+from artstyletransfer_tpu.utils.image import encode_jpeg  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def fresh_semaphore():
+    executor_mod.reset_semaphore()
+    yield
+    executor_mod.reset_semaphore()
+
+
+async def fake_engine(pair, *args, **kwargs):
+    for i in range(2):
+        await asyncio.sleep(0)
+        pct = (i + 1) * 50.0
+        yield pct, np.full((8, 8, 3), 0.5, np.float32)
+
+
+def _write_demo_images(tmp_path):
+    import cv2
+
+    for sub in ("content-images", "style-images"):
+        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype("uint8")
+    cv2.imwrite(str(tmp_path / "content-images" / "c.jpg"), img)
+    cv2.imwrite(str(tmp_path / "style-images" / "s.jpg"), img)
+
+
+def test_lab_routes(tmp_path):
+    _write_demo_images(tmp_path)
+    app = create_app(config=Config(iters_num=2), data_dir=str(tmp_path),
+                     pairs=[("c.jpg", "s.jpg")], engine=fake_engine)
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await asyncio.sleep(0.2)  # let the backend task enqueue + run
+            resp = await client.get("/")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "job(s)" in html
+
+            ids = await app["executor"].task_ids()
+            assert len(ids) == 1
+            resp = await client.get(f"/generated/{ids[0]}")
+            assert resp.status == 200
+            body = await resp.read()
+            assert body[:2] == b"\xff\xd8"  # JPEG magic
+
+            resp = await client.get("/generated/nonexistent")
+            assert resp.status == 404
+        finally:
+            await client.close()
+
+    asyncio.run(go())
+
+
+class FakeTelegramClient:
+    def __init__(self):
+        self.messages = []   # (chat_id, text)
+        self.photos = []     # (chat_id, caption)
+        self.files = {}      # file_id -> bytes
+
+    async def send_message(self, chat_id, text):
+        self.messages.append((chat_id, text))
+
+    async def send_photo(self, chat_id, jpeg_bytes, caption, filename=None):
+        assert jpeg_bytes[:2] == b"\xff\xd8"
+        self.photos.append((chat_id, caption))
+
+    async def download_file(self, file_id):
+        return self.files[file_id]
+
+
+def _photo_message(chat_id, file_id, group_id=None):
+    msg = {"chat": {"id": chat_id},
+           "photo": [{"file_id": f"{file_id}-small"},
+                     {"file_id": file_id}]}
+    if group_id:
+        msg["media_group_id"] = group_id
+    return msg
+
+
+def _jpeg_bytes():
+    return encode_jpeg(np.random.default_rng(1).random((8, 8, 3))
+                       .astype(np.float32))
+
+
+def test_bot_start_and_fallback():
+    client = FakeTelegramClient()
+    bot = StyleTransferBot(client, Config(iters_num=2), engine=fake_engine)
+
+    async def go():
+        await bot.handle_message({"chat": {"id": 7}, "text": "/start",
+                                  "from": {"first_name": "Ada"}})
+        await bot.handle_message({"chat": {"id": 7}, "text": "hello"})
+
+    asyncio.run(go())
+    assert "Ada" in client.messages[0][1]
+    assert "content" in client.messages[1][1]
+
+
+def test_bot_album_runs_job_and_reports():
+    client = FakeTelegramClient()
+    client.files["f1"] = _jpeg_bytes()
+    client.files["f2"] = _jpeg_bytes()
+    bot = StyleTransferBot(client, Config(iters_num=2), engine=fake_engine)
+
+    async def go():
+        await bot.album_handler([
+            _photo_message(42, "f1", "g1"),
+            _photo_message(42, "f2", "g1"),
+        ])
+        await bot.executor.run()
+        await asyncio.sleep(0.05)
+
+    asyncio.run(go())
+    assert any("Processing has started" in t for _, t in client.messages)
+    captions = [c for _, c in client.photos]
+    assert "Done!" in captions
+    assert all(chat == 42 for chat, _ in client.photos)
+    assert bot.tasks_table == {}  # cleaned up at 100%
+
+
+def test_bot_rejects_wrong_album_size():
+    client = FakeTelegramClient()
+    client.files["f1"] = _jpeg_bytes()
+    bot = StyleTransferBot(client, Config(iters_num=2), engine=fake_engine)
+
+    async def go():
+        await bot.album_handler([_photo_message(9, "f1", "g2")])
+
+    asyncio.run(go())
+    assert any("two pictures" in t for _, t in client.messages)
+    assert client.photos == []
+
+
+def test_bot_media_group_debounce():
+    client = FakeTelegramClient()
+    client.files["f1"] = _jpeg_bytes()
+    client.files["f2"] = _jpeg_bytes()
+    bot = StyleTransferBot(client, Config(iters_num=2), engine=fake_engine)
+
+    async def go():
+        tlbot_mod.MEDIA_GROUP_DEBOUNCE_S = 0.05
+        await bot.handle_message(_photo_message(11, "f1", "album9"))
+        await bot.handle_message(_photo_message(11, "f2", "album9"))
+        await asyncio.sleep(0.15)  # debounce fires -> album handled
+        await bot.executor.run()
+        await asyncio.sleep(0.05)
+
+    asyncio.run(go())
+    assert any("Processing has started" in t for _, t in client.messages)
+    assert any(c == "Done!" for _, c in client.photos)

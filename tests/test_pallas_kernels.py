@@ -1,0 +1,75 @@
+"""Pallas kernels vs XLA reference ops (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artstyletransfer_tpu.ops.gram import gram_matrix
+from artstyletransfer_tpu.ops.tv import total_variation
+from artstyletransfer_tpu.ops.pallas_kernels import (
+    gram_pallas,
+    gram_supported,
+    tv_pallas,
+    tv_supported,
+)
+
+
+def test_gram_supported_shapes():
+    assert gram_supported((1, 32, 32, 128))
+    assert not gram_supported((1, 32, 32, 64))    # lane dim < 128
+    assert gram_supported((1, 64, 96, 256))
+
+
+def test_gram_pallas_matches_xla(rng):
+    x = rng.standard_normal((2, 16, 24, 128)).astype(np.float32)
+    ours = np.asarray(gram_pallas(jnp.asarray(x), True, True))
+    ref = np.asarray(gram_matrix(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_pallas_unnormalized(rng):
+    x = rng.standard_normal((1, 8, 16, 128)).astype(np.float32)
+    ours = np.asarray(gram_pallas(jnp.asarray(x), False, True))
+    ref = np.asarray(gram_matrix(jnp.asarray(x), should_normalize=False))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_gram_pallas_grad_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 128)).astype(np.float32))
+    target = jnp.asarray(
+        rng.standard_normal((1, 128, 128)).astype(np.float32))
+
+    def loss_pallas(x):
+        return jnp.mean(jnp.square(gram_pallas(x, True, True) - target))
+
+    def loss_xla(x):
+        return jnp.mean(jnp.square(gram_matrix(x) - target))
+
+    g_pallas = jax.grad(loss_pallas)(x)
+    g_xla = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_tv_supported_shapes():
+    assert tv_supported((1, 64, 96, 3))
+    assert not tv_supported((2, 64, 96, 3))       # batch > 1
+    assert not tv_supported((1, 2048, 2048, 3))   # exceeds VMEM budget
+
+
+def test_tv_pallas_matches_xla(rng):
+    y = rng.standard_normal((1, 24, 40, 3)).astype(np.float32) * 50
+    ours = float(tv_pallas(jnp.asarray(y), interpret=True))
+    ref = float(total_variation(jnp.asarray(y)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_tv_pallas_grad_matches_xla(rng):
+    y = jnp.asarray(rng.standard_normal((1, 12, 16, 3)).astype(np.float32))
+
+    g_pallas = jax.grad(lambda y: tv_pallas(y, interpret=True))(y)
+    g_xla = jax.grad(lambda y: total_variation(y))(y)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-6)

@@ -1,0 +1,149 @@
+"""Batched multi-job execution on a virtual 8-device mesh (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.engine.transfer import TransferJob
+from artstyletransfer_tpu.parallel import (
+    BatchedTransferJob,
+    bucket_jobs,
+    jobs_mesh,
+    jobs_space_mesh,
+    run_job_queue,
+)
+
+
+@pytest.fixture(scope="module")
+def jobs_data():
+    rng = np.random.default_rng(11)
+    contents = [rng.random((32, 48, 3)).astype(np.float32) for _ in range(4)]
+    styles = [rng.random((24, 24, 3)).astype(np.float32) for _ in range(4)]
+    return contents, styles
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_batched_matches_single_job(jobs_data, vgg_params):
+    """A batched run must produce the same result as per-job runs."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=2, iters_num=6, base_diameter=16,
+                 optimizer="adam", stream_every=6, init_method="content+noise")
+
+    batch = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                               params=vgg_params)
+    _, imgs, losses = list(batch.run())[-1]
+    assert imgs.shape[0] == 2 and losses.shape == (2,)
+
+    for i in range(2):
+        # per-job RNG seed matches batch convention (seed + index)
+        import dataclasses
+
+        cfg_i = dataclasses.replace(cfg, seed=cfg.seed + i)
+        single = TransferJob(contents[i], styles[i], cfg_i,
+                             params=vgg_params)
+        _, img_i, loss_i = list(single.run())[-1]
+        np.testing.assert_allclose(losses[i], loss_i, rtol=1e-3)
+        np.testing.assert_allclose(imgs[i], img_i, rtol=1e-3, atol=1e-3)
+
+
+def test_batched_on_jobs_mesh(jobs_data, vgg_params):
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    mesh = jobs_mesh(4)
+    batch = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
+                               mesh=mesh)
+    outs = list(batch.run())
+    assert len(outs) == 2
+    done, imgs, losses = outs[-1]
+    assert done == 4 and imgs.shape[0] == 4
+    assert np.isfinite(losses).all()
+
+
+def test_batched_jobs_space_mesh_lbfgs(jobs_data, vgg_params):
+    """dp (jobs) x sp (flattened pixels) sharding with the L-BFGS path."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="lbfgs", stream_every=2, lbfgs_history=4,
+                 lbfgs_max_ls_steps=5)
+    mesh = jobs_space_mesh(4, 2)
+    batch = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
+                               mesh=mesh, shard_space=True)
+    done, imgs, losses = list(batch.run())[-1]
+    assert done == 2 and imgs.shape[0] == 4
+    assert np.isfinite(losses).all()
+
+
+def test_sharding_actually_spans_devices(jobs_data, vgg_params):
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=1, base_diameter=16,
+                 optimizer="adam", stream_every=1)
+    mesh = jobs_mesh(4)
+    batch = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
+                               mesh=mesh)
+    assert len(batch._x0.sharding.device_set) == 4
+
+
+def test_bucket_jobs_groups_by_shape(rng):
+    a = rng.random((8, 8, 3)).astype(np.float32)
+    b = rng.random((8, 12, 3)).astype(np.float32)
+    s = rng.random((6, 6, 3)).astype(np.float32)
+    jobs = [("t1", a, s), ("t2", a.copy(), s.copy()), ("t3", b, s)]
+    buckets = bucket_jobs(jobs)
+    assert len(buckets) == 2
+    sizes = sorted(len(v) for v in buckets.values())
+    assert sizes == [1, 2]
+
+
+def test_run_job_queue_mixed_shapes(jobs_data, vgg_params, rng):
+    contents, styles = jobs_data
+    other_content = rng.random((40, 40, 3)).astype(np.float32)
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    jobs = [("a", contents[0], styles[0]),
+            ("b", contents[1], styles[1]),
+            ("c", other_content, styles[2])]
+    seen = []
+    results = run_job_queue(jobs, cfg, params=vgg_params, mesh=jobs_mesh(2),
+                            progress=lambda tid, pct, img, loss:
+                            seen.append((tid, pct)))
+    assert set(results) == {"a", "b", "c"}
+    assert results["a"].shape[-1] == 3
+    assert {t for t, _ in seen} == {"a", "b", "c"}
+    assert all(p == 100.0 for _, p in seen)
+
+
+def test_batch_rejects_mixed_shapes(jobs_data, vgg_params, rng):
+    contents, styles = jobs_data
+    bad = rng.random((10, 10, 3)).astype(np.float32)
+    cfg = Config(levels_num=1, base_diameter=16)
+    with pytest.raises(ValueError, match="bucket_jobs"):
+        BatchedTransferJob([contents[0], bad], styles[:2], cfg,
+                           params=vgg_params)
+
+
+def test_tiny_base_diameter_rejected(jobs_data, vgg_params):
+    """base_diameter < 16 would give empty VGG taps (NaN losses)."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, base_diameter=8)
+    with pytest.raises(ValueError, match="base_diameter"):
+        TransferJob(contents[0], styles[0], cfg, params=vgg_params)
+
+
+def test_batch_padding_to_mesh(jobs_data, vgg_params):
+    """3 jobs on a 2-wide jobs mesh: padded internally, 3 results out."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    batch = BatchedTransferJob(contents[:3], styles[:3], cfg,
+                               params=vgg_params, mesh=jobs_mesh(2))
+    assert batch.batch == 4 and batch.real_batch == 3
+    done, imgs, losses = list(batch.run())[-1]
+    assert imgs.shape[0] == 3 and losses.shape == (3,)
