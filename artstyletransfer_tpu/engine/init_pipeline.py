@@ -51,8 +51,25 @@ def gaussian_kernel_1d(n: int, sigma: float) -> np.ndarray:
 
 
 def _sep_filter_reflect101(img: np.ndarray, kx: np.ndarray, ky: np.ndarray) -> np.ndarray:
-    """Separable 2-D correlation with BORDER_REFLECT_101 (cv2 default)."""
+    """Separable 2-D correlation with BORDER_REFLECT_101 (cv2 default).
+
+    scipy.ndimage.correlate1d with mode='mirror' implements exactly
+    REFLECT_101 edge handling at C speed; a pure-numpy fallback keeps the
+    dependency optional.
+    """
     img = np.asarray(img, dtype=np.float64)
+    from ..native import available as native_available
+    from ..native import sep_filter_reflect101 as native_filter
+
+    if img.ndim == 3 and native_available():
+        return native_filter(img, kx=np.asarray(kx), ky=np.asarray(ky))
+    try:
+        from scipy.ndimage import correlate1d
+
+        out = correlate1d(img, ky, axis=0, mode="mirror")
+        return correlate1d(out, kx, axis=1, mode="mirror")
+    except ImportError:
+        pass
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
@@ -87,6 +104,12 @@ def sobel5(img: np.ndarray, axis: str) -> np.ndarray:
 def gaussian_blur(img: np.ndarray, ksize: int, sigma: float) -> np.ndarray:
     """cv2.GaussianBlur(img, (ksize, ksize), sigma) equivalent."""
     k = gaussian_kernel_1d(ksize, sigma)
+    # prune numerically-zero tails (a 101-tap kernel at sigma=0.2 — the
+    # reference's setting at neural_style_transfer.py:340 — has 3 live taps)
+    live = np.nonzero(k > k.max() * 1e-18)[0]
+    lo, hi = live[0], live[-1]
+    r = max(len(k) // 2 - lo, hi - len(k) // 2)
+    k = k[len(k) // 2 - r: len(k) // 2 + r + 1]
     return _sep_filter_reflect101(img, kx=k, ky=k)
 
 

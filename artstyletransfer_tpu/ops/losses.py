@@ -14,6 +14,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .gram import gram_matrix
 from .tv import total_variation
@@ -29,6 +30,14 @@ class LevelLoss(NamedTuple):
 def content_loss(target_content: jax.Array, current_content: jax.Array) -> jax.Array:
     """MSE between content-tap feature maps."""
     return jnp.mean(jnp.square(target_content - current_content))
+
+
+def regularization(y: jax.Array) -> jax.Array:
+    """sum((y/128)^10) / numel^10 — present in the reference but unused
+    (reference math_utils.py:44-47, referenced only in a comment at
+    neural_style_transfer.py:107). Kept for component parity."""
+    els = float(np.prod(y.shape))
+    return jnp.sum(jnp.power(y / 128.0, 10)) / (els ** 10)
 
 
 def style_loss(target_grams: Sequence[jax.Array],

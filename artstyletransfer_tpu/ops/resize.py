@@ -91,16 +91,28 @@ def bicubic_resize_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Host-side numpy twin of bicubic_resize for one-time preprocessing.
 
     Used by the init pipeline so host-built pyramids match the in-graph
-    resize bit-for-bit (same matrices).
+    resize bit-for-bit (same matrices). Uses tensordot so the contraction
+    runs through BLAS (2K-level pyramids build in seconds, not minutes).
     """
     squeeze = img.ndim == 3
     if squeeze:
         img = img[None]
-    _, h, w, _ = img.shape
+    b, h, w, c = img.shape
     if (h, w) != (out_h, out_w):
+        from ..native import available as native_available
+        from ..native import bicubic_resize as native_resize
+
+        if b == 1 and native_available():
+            # native 4-tap path: ~n_in/4 fewer MACs than the dense matmul
+            out = native_resize(np.asarray(img[0], dtype=np.float32),
+                                out_h, out_w)
+            return out if squeeze else out[None]
+        img = img.astype(np.float32)
         r_h = resize_matrix(h, out_h)
         r_w = resize_matrix(w, out_w)
-        img = np.einsum("iy,byxc->bixc", r_h, img.astype(np.float32))
-        img = np.einsum("jx,bixc->bijc", r_w, img)
-    img = img.astype(np.float32)
+        # (i,y) . (b,y,x,c) -> (i,b,x,c) -> (b,i,x,c)
+        img = np.tensordot(r_h, img, axes=([1], [1])).transpose(1, 0, 2, 3)
+        # (j,x) . (b,i,x,c) -> (j,b,i,c) -> (b,i,j,c)
+        img = np.tensordot(r_w, img, axes=([1], [2])).transpose(1, 2, 0, 3)
+    img = np.ascontiguousarray(img, dtype=np.float32)
     return img[0] if squeeze else img
