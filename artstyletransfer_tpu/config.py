@@ -60,6 +60,12 @@ class Config:
     seed: int = 0                       # PRNG seed for noise init
     use_pallas: bool = True             # fused Pallas kernels on TPU where
                                         # available; XLA fallback otherwise
+    nan_checks: bool = True             # raise on non-finite loss at chunk
+                                        # boundaries (TPU analogue of the
+                                        # reference's unconditional
+                                        # torch.autograd.set_detect_anomaly,
+                                        # neural_style_transfer.py:150, at
+                                        # zero per-step cost)
     remat_levels: bool = False          # jax.checkpoint each pyramid level's
                                         # VGG pass (for 4-level / 2K outputs)
 

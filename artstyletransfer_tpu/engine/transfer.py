@@ -26,6 +26,7 @@ TPU-native design:
 from __future__ import annotations
 
 import asyncio
+import os
 from functools import partial
 from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple
 
@@ -263,13 +264,22 @@ class TransferJob:
         self._x0 = jnp.asarray(prepare_img(init_img).reshape(-1))
 
     def run(self, iters_num: Optional[int] = None,
-            stream_every: Optional[int] = None
+            stream_every: Optional[int] = None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: Optional[int] = None,
+            resume: bool = False,
             ) -> Iterator[Tuple[int, np.ndarray, float]]:
         """Run the optimization; yields (steps_done, image_hwc_rgb, loss).
 
         The image is un-preprocessed ([0,1]-domain, unclipped) like the
         reference's unprepare_img (reference neural_style_transfer.py:386-393).
+
+        checkpoint_path/checkpoint_every persist the full optimization state
+        every k steps; resume=True restarts from checkpoint_path if present
+        (the reference has no persistence at all — SURVEY §5).
         """
+        from .checkpoint import load_checkpoint, save_checkpoint
+
         cfg = self.cfg
         iters = iters_num if iters_num is not None else cfg.iters_num
         chunk = stream_every if stream_every is not None else cfg.stream_every
@@ -280,15 +290,29 @@ class TransferJob:
         x = jnp.array(self._x0, copy=True)
         opt_state = self._init_fn(self.params, self.targets, x)
         done = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            x_np, opt_state, done = load_checkpoint(checkpoint_path,
+                                                    opt_state)
+            x = jnp.asarray(x_np)
         while done < iters:
             k = min(chunk, iters - done)
             x, opt_state, f = self._chunk_fn(
                 self.params, self.targets, x, opt_state,
                 jnp.int32(done), int(k))
             done += k
+            f = float(f)
+            if cfg.nan_checks and not np.isfinite(f):
+                raise FloatingPointError(
+                    f"non-finite loss {f} at step {done} "
+                    f"(optimizer={cfg.optimizer}, lr_start={cfg.lr_start}); "
+                    f"the TPU analogue of the reference's "
+                    f"autograd-anomaly guard tripped")
+            if (checkpoint_path and checkpoint_every
+                    and (done % checkpoint_every == 0 or done >= iters)):
+                save_checkpoint(checkpoint_path, x, opt_state, done)
             img = unprepare_img(
                 np.asarray(x).reshape(self.level_shapes[0]))
-            yield done, img, float(f)
+            yield done, img, f
 
     def initial_loss(self) -> float:
         """Total loss at the init image (before any optimization)."""

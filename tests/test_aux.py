@@ -1,0 +1,129 @@
+"""Auxiliary subsystems: checkpoint/resume, NaN guard, metrics, builders."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.engine.builders import LossBuilder, RepresentationBuilder
+from artstyletransfer_tpu.engine.transfer import TransferJob
+from artstyletransfer_tpu.models.vgg19 import CONTENT_INDEX, STYLE_INDICES
+from artstyletransfer_tpu.utils.image import prepare_img
+from artstyletransfer_tpu.utils.metrics import MetricsLogger, Throughput
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(13)
+    return (rng.random((40, 48, 3)).astype(np.float32),
+            rng.random((32, 32, 3)).astype(np.float32))
+
+
+def test_checkpoint_resume_exact(images, vgg_params, tmp_path):
+    """Resume must continue bit-exactly from where the run stopped."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=8, base_diameter=16,
+                 optimizer="adam", stream_every=4)
+    ckpt = str(tmp_path / "job.npz")
+
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    full = [(d, img.copy(), f) for d, img, f in job.run()]
+
+    # run only the first half, checkpointing
+    job2 = TransferJob(content, style, cfg, params=vgg_params)
+    half = list(job2.run(iters_num=4, checkpoint_path=ckpt,
+                         checkpoint_every=4))
+    assert half[-1][0] == 4
+
+    # resume the second half from the checkpoint
+    job3 = TransferJob(content, style, cfg, params=vgg_params)
+    resumed = list(job3.run(iters_num=8, checkpoint_path=ckpt,
+                            checkpoint_every=100, resume=True))
+    assert resumed[-1][0] == 8
+    np.testing.assert_allclose(resumed[-1][2], full[-1][2], rtol=1e-6)
+    np.testing.assert_allclose(resumed[-1][1], full[-1][1],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_wrong_shape_rejected(images, vgg_params, tmp_path):
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ckpt = str(tmp_path / "job.npz")
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    list(job.run(checkpoint_path=ckpt, checkpoint_every=2))
+
+    other = TransferJob(style, content, cfg, params=vgg_params)  # swapped
+    with pytest.raises(ValueError, match="shape"):
+        list(other.run(checkpoint_path=ckpt, checkpoint_every=100,
+                       resume=True))
+
+
+def test_nan_guard_trips(images, vgg_params):
+    content, style = images
+    # absurd lr drives Adam to overflow quickly at tiny resolution
+    cfg = Config(levels_num=1, iters_num=40, base_diameter=16,
+                 optimizer="adam", stream_every=10, lr_start=1e30,
+                 nan_checks=True)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        list(job.run())
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path) as m:
+        m.log("step", loss=1.5, step=10)
+        m.log("done", steps=10)
+    lines = [json.loads(line) for line in open(path)]
+    assert lines[0]["event"] == "step" and lines[0]["loss"] == 1.5
+    assert lines[1]["event"] == "done"
+
+
+def test_throughput_excludes_compile_interval():
+    tp = Throughput()
+    import time as _t
+
+    tp.tick(0)
+    _t.sleep(0.05)
+    tp.tick(10)   # compile-bearing interval: excluded
+    _t.sleep(0.01)
+    tp.tick(20)
+    assert tp.steps_per_sec is not None
+    assert tp.steps_per_sec > 50  # 10 steps in ~0.01s, not 20 in 0.06
+
+
+def test_builders_match_fused_loss(images, vgg_params):
+    """The reference-API LossBuilder must agree with the jitted engine loss."""
+    content, style = images
+    cfg = Config(levels_num=1, base_diameter=16)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+
+    from artstyletransfer_tpu.engine.pyramid import build_input_pyramids
+
+    c_lvls, s_lvls = build_input_pyramids(content, style, 1, 16)
+    lb = LossBuilder(CONTENT_INDEX, list(STYLE_INDICES),
+                     jnp.asarray(prepare_img(c_lvls[0])),
+                     jnp.asarray(prepare_img(s_lvls[0])),
+                     vgg_params, cfg.content_weight, cfg.style_weight,
+                     cfg.tv_weight)
+    probe = c_lvls[0] * 0.7 + 0.1
+    total, c_l, s_l, tv_l = lb.build(jnp.asarray(prepare_img(probe)))
+    ref_total, _ = job.loss_report(probe)
+    np.testing.assert_allclose(float(total), ref_total, rtol=1e-4)
+
+
+def test_representation_builder_polymorphism(images, vgg_params):
+    content, _ = images
+    x = jnp.asarray(prepare_img(content))
+    rb = RepresentationBuilder(x, vgg_params)
+    single = rb.build_content(CONTENT_INDEX)
+    multi = rb.build_content([CONTENT_INDEX])
+    assert isinstance(multi, list) and len(multi) == 1
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(multi[0]))
+    grams = rb.build_style(list(STYLE_INDICES))
+    assert len(grams) == 5
