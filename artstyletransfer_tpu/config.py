@@ -54,12 +54,33 @@ class Config:
     base_diameter: int = 256            # level-0 shortest side
                                         # (reference neural_style_transfer.py:213)
     compute_dtype: str = "float32"      # 'float32' | 'bfloat16' conv compute
+    conv_precision: str = "default"     # MXU pass count for f32 convs:
+                                        # 'default' (bf16 passes, fastest) |
+                                        # 'high' | 'highest' (f32 emulation)
     stream_every: int = 10              # steps per jitted chunk between
                                         # progress yields (reference yields every
                                         # step: neural_style_transfer.py:208)
     seed: int = 0                       # PRNG seed for noise init
-    use_pallas: bool = True             # fused Pallas kernels on TPU where
-                                        # available; XLA fallback otherwise
+
+    # --- demonstration / ablation flags (reference
+    #     neural_style_transfer.py:26-29 module-level booleans) ---
+    demo_normal_noise: bool = False     # normal noise instead of style-pixel
+                                        # permutation noise
+    demo_no_gaussian_mask: bool = False  # skip the Gaussian envelopes
+    demo_ignore_gradient_map: bool = False  # constant noise weight instead
+                                        # of the Sobel-modulated map
+    dump_masks_dir: str = ""            # SHOW_TEST_IMGS equivalent: dump the
+                                        # noise map / gradient mask JPEGs
+                                        # here (reference :315-323, :345-347)
+    use_pallas: bool = False            # route Gram/TV through the Pallas
+                                        # kernels (ops/pallas_kernels.py).
+                                        # Measured on v5e: each kernel wins
+                                        # in isolation (gram 1.77 vs 1.94ms,
+                                        # tv 0.017 vs 0.024ms) but the
+                                        # custom-call boundary breaks XLA
+                                        # fusion around them and the full
+                                        # step is ~15% slower — so the fused
+                                        # XLA path is the default.
     nan_checks: bool = True             # raise on non-finite loss at chunk
                                         # boundaries (TPU analogue of the
                                         # reference's unconditional

@@ -26,6 +26,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -211,18 +212,34 @@ def noise_replacement_map(content_top: np.ndarray, noise_factor: float,
     return (a * noise_factor / (a + mag)).astype(np.float32)
 
 
+def _dump_mask(img: np.ndarray, dump_dir: str, name: str) -> None:
+    """SHOW_TEST_IMGS-style debug dump (reference :315-323, :345-347)."""
+    from ..utils.image import save_image
+
+    os.makedirs(dump_dir, exist_ok=True)
+    save_image(np.clip(img, 0.0, 1.0), os.path.join(dump_dir, name))
+
+
 def build_init_image(init_method: str, content: np.ndarray, style: np.ndarray,
                      config: Config, rng: Optional[np.random.Generator] = None,
-                     use_normal_noise: bool = False,
-                     without_gaussian_mask: bool = False,
-                     ignore_gradient_map: bool = False
+                     use_normal_noise: Optional[bool] = None,
+                     without_gaussian_mask: Optional[bool] = None,
+                     ignore_gradient_map: Optional[bool] = None
                      ) -> Tuple[np.ndarray, str]:
     """Build the initial optimizing image at top-pyramid resolution.
 
     Returns (init_img [0,1]-domain HWC float32, init_name).
-    Reference neural_style_transfer.py:265-362.
+    Reference neural_style_transfer.py:265-362. The three ablation kwargs
+    default to the Config demo flags when not given.
     """
     from .pyramid import resize_to_level
+
+    if use_normal_noise is None:
+        use_normal_noise = config.demo_normal_noise
+    if without_gaussian_mask is None:
+        without_gaussian_mask = config.demo_no_gaussian_mask
+    if ignore_gradient_map is None:
+        ignore_gradient_map = config.demo_ignore_gradient_map
 
     rng = rng or np.random.default_rng(config.seed)
     top_level = config.levels_num - 1
@@ -232,12 +249,19 @@ def build_init_image(init_method: str, content: np.ndarray, style: np.ndarray,
     noise_map = build_noise_map(content_top.shape, style_top, config, rng,
                                 use_normal_noise=use_normal_noise,
                                 without_gaussian_mask=without_gaussian_mask)
+    if config.dump_masks_dir:
+        _dump_mask(noise_map, config.dump_masks_dir, "noise_mask.jpg")
+        _dump_mask(gaussian_blur(noise_map, 107, 0).astype(np.float32),
+                   config.dump_masks_dir, "noise_mask_blurry.jpg")
 
     if init_method == "random":
         return (noise_map * 0.5).astype(np.float32), "random"
     if init_method == "content+noise":
         nr = noise_replacement_map(content_top, config.noise_factor,
                                    ignore_gradient_map)
+        if config.dump_masks_dir and not ignore_gradient_map:
+            _dump_mask(np.asarray(nr, np.float32), config.dump_masks_dir,
+                       "test_noise_rep_blurry.jpg")
         init = ((1.0 - nr) * content_top + nr * noise_map).astype(np.float32)
         return init, "content"
     if init_method == "style":

@@ -70,6 +70,13 @@ class StepMetrics(NamedTuple):
 # --------------------------------------------------------------------------
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
                        cfg: Config):
     """Returns loss_fn(params, targets, x_flat) -> (total, LevelLoss list).
@@ -89,12 +96,14 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
                 cur = downscale2x(cur)
 
             def level_pass(params, cur, lvl=lvl):
-                feats = extract_features(params, cur, cfg.compute_dtype)
+                feats = extract_features(params, cur, cfg.compute_dtype,
+                                          cfg.conv_precision)
                 t_content, t_grams = targets[lvl]
                 return level_loss(
                     feats, t_content, t_grams, cur,
                     cfg.content_weight, cfg.style_weight, cfg.tv_weight,
-                    CONTENT_INDEX, STYLE_INDICES)
+                    CONTENT_INDEX, STYLE_INDICES,
+                    use_pallas=cfg.use_pallas and _on_tpu())
 
             if cfg.remat_levels:
                 level_pass = jax.checkpoint(level_pass)
@@ -114,8 +123,10 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
     neural_style_transfer.py:78-82)."""
     targets = []
     for c_img, s_img in zip(content_levels_pre, style_levels_pre):
-        c_feats = extract_features(params, c_img, cfg.compute_dtype)
-        s_feats = extract_features(params, s_img, cfg.compute_dtype)
+        c_feats = extract_features(params, c_img, cfg.compute_dtype,
+                                   cfg.conv_precision)
+        s_feats = extract_features(params, s_img, cfg.compute_dtype,
+                                   cfg.conv_precision)
         t_content = c_feats[CONTENT_INDEX]
         t_grams = tuple(gram_matrix(s_feats[i]) for i in STYLE_INDICES)
         targets.append((t_content, t_grams))
@@ -145,8 +156,10 @@ class Runners(NamedTuple):
 def _config_key(cfg: Config, level_shapes) -> tuple:
     return (tuple(level_shapes), cfg.content_weight, cfg.style_weight,
             cfg.tv_weight, cfg.optimizer, cfg.compute_dtype,
+            cfg.conv_precision,
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
-            cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels)
+            cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels,
+            cfg.use_pallas and _on_tpu())
 
 
 def _build_runners(cfg: Config, level_shapes):
@@ -340,7 +353,8 @@ async def neural_style_transfer(content_n_style: ContentStylePair,
                                 noise_levels_peripheral_amplitude,
                                 noise_levels_dispersion,
                                 params=None, stream_every: int = 10,
-                                seed: int = 0, base_diameter: int = 256):
+                                seed: int = 0, base_diameter: int = 256,
+                                config: Optional[Config] = None):
     """Async generator yielding (percent, image) — the reference engine API
     (reference neural_style_transfer.py:229-372).
 
@@ -348,7 +362,7 @@ async def neural_style_transfer(content_n_style: ContentStylePair,
     asyncio event loop stays responsive (the reference does the same for
     optimizer.step, reference neural_style_transfer.py:206).
     """
-    cfg = Config(
+    cfg = config if config is not None else Config(
         content_weight=content_weight, style_weight=style_weight,
         tv_weight=tv_weight, optimizer=optimizer, model=model,
         init_method=init_method, iters_num=iters_num, levels_num=levels_num,

@@ -58,12 +58,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="steps per progress update (default 10)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default=None)
+    p.add_argument("--conv-precision", choices=["default", "high", "highest"],
+                   default=None, help="MXU pass count for float32 convs")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; combine with --checkpoint-every "
+                        "and --resume")
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--weights", default=None,
                    help="VGG19 weights path (.npz/.pth/.h5); default: "
                         "env ASTT_VGG19_WEIGHTS, cache, or seeded init")
     p.add_argument("--save-progress", action="store_true",
                    help="also save intermediate images next to the output")
+    p.add_argument("--demo-normal-noise", action="store_true",
+                   help="ablation: normal noise instead of style-pixel noise")
+    p.add_argument("--demo-no-gaussian-mask", action="store_true",
+                   help="ablation: skip the Gaussian noise envelopes")
+    p.add_argument("--demo-ignore-gradient-map", action="store_true",
+                   help="ablation: constant noise weight (no Sobel map)")
+    p.add_argument("--dump-masks", default=None, metavar="DIR",
+                   help="dump noise/gradient mask JPEGs for inspection")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -77,13 +93,37 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "content_weight": "content_weight", "style_weight": "style_weight",
         "tv_weight": "tv_weight", "noise_factor": "noise_factor",
         "base_diameter": "base_diameter", "stream_every": "stream_every",
-        "compute_dtype": "compute_dtype", "seed": "seed",
+        "compute_dtype": "compute_dtype", "conv_precision": "conv_precision",
+        "seed": "seed", "demo_normal_noise": "demo_normal_noise",
+        "demo_no_gaussian_mask": "demo_no_gaussian_mask",
+        "demo_ignore_gradient_map": "demo_ignore_gradient_map",
+        "dump_masks": "dump_masks_dir",
     }
     for arg_name, field in mapping.items():
         val = getattr(args, arg_name)
         if val is not None:
             overrides[field] = val
     return dataclasses.replace(cfg, **overrides)
+
+
+def run_job_checkpointed(args: argparse.Namespace, cfg: Config) -> np.ndarray:
+    """Direct TransferJob path used when checkpointing is requested."""
+    from ..engine.transfer import TransferJob
+
+    params = None
+    if args.weights:
+        from ..models.weights import load_vgg19_params
+        params = load_vgg19_params(args.weights)
+    job = TransferJob(load_image(args.content), load_image(args.style),
+                      cfg, params=params)
+    img = None
+    for done, img, loss in job.run(checkpoint_path=args.checkpoint,
+                                   checkpoint_every=args.checkpoint_every
+                                   or cfg.stream_every,
+                                   resume=args.resume):
+        if not args.quiet:
+            print(f"step {done}/{cfg.iters_num} loss {loss:.4e}")
+    return img
 
 
 async def run_job(args: argparse.Namespace, cfg: Config) -> np.ndarray:
@@ -110,9 +150,7 @@ async def run_job(args: argparse.Namespace, cfg: Config) -> np.ndarray:
 
     from ..engine.transfer import neural_style_transfer
 
-    engine = partial(neural_style_transfer, params=params,
-                     stream_every=cfg.stream_every, seed=cfg.seed,
-                     base_diameter=cfg.base_diameter)
+    engine = partial(neural_style_transfer, params=params, config=cfg)
     executor = Executor(cfg, report_progress=report, engine=engine,
                         verbose=not args.quiet)
     pair = ContentStylePair((args.content, content), (args.style, style))
@@ -122,6 +160,10 @@ async def run_job(args: argparse.Namespace, cfg: Config) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     if not args.quiet:
@@ -129,7 +171,10 @@ def main(argv=None) -> int:
               f"iters={cfg.iters_num} init={cfg.init_method} "
               f"base={cfg.base_diameter}")
     t0 = time.time()
-    img = asyncio.run(run_job(args, cfg))
+    if args.checkpoint:
+        img = run_job_checkpointed(args, cfg)
+    else:
+        img = asyncio.run(run_job(args, cfg))
     if img is None:
         print("No output produced", file=sys.stderr)
         return 1

@@ -128,6 +128,10 @@ def create_app(config=None, data_dir: str = None, pairs=None,
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(prog="astt-lab")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)

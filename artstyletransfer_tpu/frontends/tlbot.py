@@ -255,6 +255,10 @@ class StyleTransferBot:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(prog="astt-tlbot")
     parser.add_argument("--token", default=os.environ.get(
         "ASTT_TELEGRAM_TOKEN"))

@@ -76,8 +76,16 @@ class Vgg19Features(NamedTuple):
 Params = Dict[str, Dict[str, jax.Array]]
 
 
+_PRECISIONS = {
+    "default": lax.Precision.DEFAULT,   # fastest (bf16 passes on TPU)
+    "high": lax.Precision.HIGH,         # more bf16 passes
+    "highest": lax.Precision.HIGHEST,   # full f32 emulation
+}
+
+
 def _conv2d_same(x: jax.Array, w: jax.Array, b: jax.Array,
-                 compute_dtype: jnp.dtype) -> jax.Array:
+                 compute_dtype: jnp.dtype,
+                 precision: str = "highest") -> jax.Array:
     """3x3 stride-1 SAME convolution in NHWC/HWIO.
 
     Activations stay in compute_dtype end-to-end (the MXU accumulates in
@@ -85,6 +93,9 @@ def _conv2d_same(x: jax.Array, w: jax.Array, b: jax.Array,
     forward and transpose conv dtypes consistent so autodiff works, and in
     bf16 mode halves HBM traffic). Taps are upcast to f32 at the loss
     boundary (extract_features).
+
+    `precision` controls the MXU pass count for float32 operands
+    (bf16x1 / bf16x3 / bf16x6); it is ignored for bfloat16 compute.
     """
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -92,6 +103,7 @@ def _conv2d_same(x: jax.Array, w: jax.Array, b: jax.Array,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_PRECISIONS[precision],
     )
     return y + b.astype(compute_dtype)
 
@@ -107,7 +119,8 @@ def _maxpool2(x: jax.Array) -> jax.Array:
 
 
 def extract_features(params: Params, x: jax.Array,
-                     compute_dtype: str = "float32") -> Vgg19Features:
+                     compute_dtype: str = "float32",
+                     precision: str = "highest") -> Vgg19Features:
     """Run the truncated VGG19 stack and return the six taps.
 
     Args:
@@ -130,7 +143,7 @@ def extract_features(params: Params, x: jax.Array,
             h = _maxpool2(h)
             continue
         p = params[name]
-        h = _conv2d_same(h, p["w"], p["b"], cdt)
+        h = _conv2d_same(h, p["w"], p["b"], cdt, precision)
         if name in pre_wanted:
             taps[pre_wanted[name]] = h.astype(jnp.float32)
         h = jax.nn.relu(h)

@@ -53,11 +53,33 @@ def level_loss(feats, target_content: jax.Array,
                target_grams: Sequence[jax.Array], level_img: jax.Array,
                content_weight: float, style_weight: float, tv_weight: float,
                content_index: int = 4,
-               style_indices: Sequence[int] = (0, 1, 2, 3, 5)) -> LevelLoss:
-    """Weighted loss of one pyramid level given current feature taps."""
+               style_indices: Sequence[int] = (0, 1, 2, 3, 5),
+               use_pallas: bool = False) -> LevelLoss:
+    """Weighted loss of one pyramid level given current feature taps.
+
+    use_pallas routes Gram/TV through the fused Pallas TPU kernels
+    (ops/pallas_kernels.py) for shapes they support, falling back to the
+    XLA ops otherwise. Callers should enable it only on TPU backends.
+    """
+    if use_pallas:
+        from . import pallas_kernels as pk
+
+        def gram_fn(x):
+            if pk.gram_supported(x.shape):
+                return pk.gram_pallas(x, True, False)
+            return gram_matrix(x)
+
+        def tv_fn(y):
+            if pk.tv_supported(y.shape):
+                return pk.tv_pallas(y)
+            return total_variation(y)
+    else:
+        gram_fn = gram_matrix
+        tv_fn = total_variation
+
     c = content_loss(target_content, feats[content_index])
-    current_grams = [gram_matrix(feats[i]) for i in style_indices]
+    current_grams = [gram_fn(feats[i]) for i in style_indices]
     s = style_loss(target_grams, current_grams)
-    t = total_variation(level_img)
+    t = tv_fn(level_img)
     total = content_weight * c + style_weight * s + tv_weight * t
     return LevelLoss(total=total, content=c, style=s, tv=t)

@@ -123,7 +123,7 @@ gram_pallas.defvjp(_gram_vjp_fwd, _gram_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-_TV_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom in the ~16MB VMEM
+_TV_VMEM_BUDGET = 2 * 1024 * 1024  # input bytes; ~4x temporaries fit in 16MB
 
 
 def tv_supported(shape) -> bool:
@@ -132,12 +132,17 @@ def tv_supported(shape) -> bool:
             and h * w * c * 4 <= _TV_VMEM_BUDGET)
 
 
-def _tv_kernel(y_ref, sx_ref, sy_ref):
-    """Whole image resident in VMEM: both TV partial sums in one pass,
-    no materialized difference tensors in HBM."""
-    y = y_ref[:]  # (h, w, c)
-    sx_ref[0, 0] = jnp.sum(jnp.abs(y[:, :-1, :] - y[:, 1:, :]))
-    sy_ref[0, 0] = jnp.sum(jnp.abs(y[:-1, :, :] - y[1:, :, :]))
+def _tv_kernel(y_ref, sx_ref, sy_ref, *, c: int):
+    """Whole image resident in VMEM as a 2-D (h, w*c) tile: both TV partial
+    sums in one pass, no materialized difference tensors in HBM.
+
+    The 2-D flattening matters: a (h, w, 3) VMEM tile would pad the
+    3-channel axis to 128 lanes (42x memory blow-up); in (h, w*c) layout a
+    horizontal pixel diff is a shift by c along the lane axis.
+    """
+    y = y_ref[:]  # (h, w*c)
+    sx_ref[0, 0] = jnp.sum(jnp.abs(y[:, :-c] - y[:, c:]))
+    sy_ref[0, 0] = jnp.sum(jnp.abs(y[:-1, :] - y[1:, :]))
 
 
 def tv_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
@@ -153,14 +158,14 @@ def tv_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
 def _tv_impl(y, interpret):
     b, h, w, c = y.shape
     sx, sy = pl.pallas_call(
-        _tv_kernel,
+        partial(_tv_kernel, c=c),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         interpret=interpret,
-    )(y[0])
+    )(y.reshape(h, w * c))
     mean_x = sx[0, 0] / (h * (w - 1) * c)
     mean_y = sy[0, 0] / ((h - 1) * w * c)
     return mean_x * mean_x + mean_y * mean_y

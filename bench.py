@@ -129,6 +129,9 @@ def measure_torch_baseline(content, style, cfg, n_steps=3) -> float:
 
 
 def main():
+    from artstyletransfer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from artstyletransfer_tpu.config import Config
 
     name = os.environ.get("ASTT_BENCH_CONFIG", "3level1024")
