@@ -68,16 +68,22 @@ def test_batched_on_jobs_mesh(jobs_data, vgg_params):
 
 
 def test_batched_jobs_space_mesh_lbfgs(jobs_data, vgg_params):
-    """dp (jobs) x sp (flattened pixels) sharding with the L-BFGS path."""
+    """dp (jobs) x sp (flattened pixels) sharding with the L-BFGS path.
+
+    Deliberately minimal (1 step, 2 jobs, 2x2 mesh, history 2): the
+    vmapped strong-Wolfe while-loop under SPMD is the most expensive graph
+    in the suite to compile.
+    """
     contents, styles = jobs_data
-    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
-                 optimizer="lbfgs", stream_every=2, lbfgs_history=4,
-                 lbfgs_max_ls_steps=5)
-    mesh = jobs_space_mesh(4, 2)
-    batch = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
-                               mesh=mesh, shard_space=True)
+    cfg = Config(levels_num=1, iters_num=1, base_diameter=16,
+                 optimizer="lbfgs", stream_every=1, lbfgs_history=2,
+                 lbfgs_max_ls_steps=3)
+    mesh = jobs_space_mesh(2, 2)
+    batch = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                               params=vgg_params, mesh=mesh,
+                               shard_space=True)
     done, imgs, losses = list(batch.run())[-1]
-    assert done == 2 and imgs.shape[0] == 4
+    assert done == 1 and imgs.shape[0] == 2
     assert np.isfinite(losses).all()
 
 
