@@ -62,8 +62,15 @@ def default_data_dir() -> str:
 
 
 def create_app(config=None, data_dir: str = None, pairs=None,
-               autostart: bool = True, engine=None) -> web.Application:
-    """Build the lab application. `engine`/`pairs` are injectable for tests."""
+               autostart: bool = True, engine=None,
+               batched: bool = False) -> web.Application:
+    """Build the lab application. `engine`/`pairs` are injectable for tests.
+
+    batched=True replaces the reference's 2-at-a-time semaphore scheduling
+    with the TPU-native path: the whole demo queue runs through
+    parallel.run_job_queue (shape-bucketed, vmapped, mesh-sharded), with
+    progress streamed back into the same progress table the routes read.
+    """
     config = config or STANDARD_GAUSS_NOISE_CONFIG
     data_dir = data_dir or default_data_dir()
     pairs = pairs if pairs is not None else CONTENT_STYLE_FILENAME_PAIRS
@@ -72,15 +79,39 @@ def create_app(config=None, data_dir: str = None, pairs=None,
     env = jinja2.Environment(
         loader=jinja2.FileSystemLoader(_TEMPLATE_DIR), autoescape=True)
 
-    async def backend_task(app):
+    def _load_pairs():
         content_dir = os.path.join(data_dir, "content-images")
         style_dir = os.path.join(data_dir, "style-images")
+        out = []
         for c_name, s_name in pairs:
             content = load_image(os.path.join(content_dir, c_name))
             style = load_image(os.path.join(style_dir, s_name))
+            out.append((c_name, content, s_name, style))
+        return out
+
+    async def backend_task(app):
+        for c_name, content, s_name, style in _load_pairs():
             await executor.add_task(
                 str(uuid.uuid4()),
                 ContentStylePair((c_name, content), (s_name, style)))
+
+    async def backend_task_batched(app):
+        from ..parallel import run_job_queue
+
+        loaded = _load_pairs()
+        jobs = [(str(uuid.uuid4()), content, style)
+                for _c, content, _s, style in loaded]
+        loop = asyncio.get_running_loop()
+        for tid, _c, _s in jobs:
+            await executor.set_progress(tid, (-1, None))
+
+        def report(tid, pct, img, loss):
+            asyncio.run_coroutine_threadsafe(
+                executor.set_progress(tid, (pct, img)), loop).result()
+
+        await loop.run_in_executor(
+            None, lambda: run_job_queue(jobs, config, progress=report,
+                                        canonicalize_styles=True))
 
     async def index(request: web.Request) -> web.Response:
         cards = []
@@ -109,7 +140,8 @@ def create_app(config=None, data_dir: str = None, pairs=None,
 
     async def on_startup(app):
         if autostart:
-            app["backend"] = asyncio.create_task(backend_task(app))
+            task_fn = backend_task_batched if batched else backend_task
+            app["backend"] = asyncio.create_task(task_fn(app))
         app["runner"] = asyncio.create_task(executor.run(forever=True))
 
     async def on_cleanup(app):
@@ -140,9 +172,12 @@ def main(argv=None) -> int:
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--no-autostart", action="store_true",
                         help="do not enqueue the demo batch on startup")
+    parser.add_argument("--batched", action="store_true",
+                        help="run the demo queue through the mesh-batched "
+                             "TPU executor instead of 2-at-a-time")
     args = parser.parse_args(argv)
     app = create_app(config=PRESETS[args.preset], data_dir=args.data_dir,
-                     autostart=not args.no_autostart)
+                     autostart=not args.no_autostart, batched=args.batched)
     web.run_app(app, host=args.host, port=args.port)
     return 0
 

@@ -195,7 +195,8 @@ def bucket_jobs(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]]
 
 def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   cfg: Config, params=None, mesh: Optional[Mesh] = None,
-                  shard_space: bool = False, progress=None
+                  shard_space: bool = False, progress=None,
+                  canonicalize_styles: bool = False
                   ) -> Dict[str, np.ndarray]:
     """Run an arbitrary job queue: bucket by shape, batch each bucket across
     the mesh, stream progress, return {task_id: final image}.
@@ -203,7 +204,20 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     This is the TPU replacement for the reference's semaphore-throttled
     sequential queue (reference task_executor.py): a full 20-pair lab run
     becomes a handful of sharded batches instead of 10 serialized rounds.
+
+    canonicalize_styles resizes every style image to a square of the
+    level-0 base diameter, so jobs sharing a content shape land in one
+    batch regardless of style aspect ratio. Style images only contribute
+    Gram statistics, so the distortion is mild — it trades exact reference
+    aspect handling for much larger batches.
     """
+    if canonicalize_styles:
+        from ..ops.resize import bicubic_resize_np
+
+        side = cfg.base_diameter
+        jobs = [(tid, c, bicubic_resize_np(s, side, side))
+                for tid, c, s in jobs]
+
     params = params if params is not None else load_vgg19_params(seed=cfg.seed)
     results: Dict[str, np.ndarray] = {}
     for bucket in bucket_jobs(jobs).values():

@@ -73,6 +73,44 @@ def test_lab_routes(tmp_path):
     asyncio.run(go())
 
 
+def test_lab_batched_mode(tmp_path):
+    """The --batched lab path runs the queue through the mesh executor."""
+    _write_demo_images(tmp_path)
+    from artstyletransfer_tpu.config import Config as Cfg
+
+    cfg = Cfg(levels_num=1, iters_num=2, base_diameter=16,
+              optimizer="adam", stream_every=2)
+    app = create_app(config=cfg, data_dir=str(tmp_path),
+                     pairs=[("c.jpg", "s.jpg"), ("c.jpg", "s.jpg")],
+                     batched=True)
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for _ in range(120):  # wait for the batch to complete
+                await asyncio.sleep(0.5)
+                ids = await app["executor"].task_ids()
+                done = []
+                for i in ids:
+                    pct, _ = await app["executor"].get_progress(i)
+                    done.append(pct >= 100.0)
+                if ids and all(done):
+                    break
+            ids = await app["executor"].task_ids()
+            assert len(ids) == 2
+            for i in ids:
+                pct, img = await app["executor"].get_progress(i)
+                assert pct == 100.0 and img is not None
+            resp = await client.get(f"/generated/{ids[0]}")
+            assert resp.status == 200
+            assert (await resp.read())[:2] == b"\xff\xd8"
+        finally:
+            await client.close()
+
+    asyncio.run(go())
+
+
 class FakeTelegramClient:
     def __init__(self):
         self.messages = []   # (chat_id, text)
