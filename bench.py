@@ -30,6 +30,9 @@ BENCH_CONFIGS = {
     "1level256": dict(levels_num=1, base_diameter=256),
     "2level512": dict(levels_num=2, base_diameter=256),
     "3level1024": dict(levels_num=3, base_diameter=256),
+    "4level2k": dict(levels_num=4, base_diameter=256),
+    "lbfgs2level512": dict(levels_num=2, base_diameter=256,
+                           optimizer="lbfgs"),
 }
 
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -54,7 +57,7 @@ def load_images():
             rng.random((1024, 1024, 3)).astype(np.float32))
 
 
-def measure_ours(content, style, cfg, n_steps=30, chunk=10) -> float:
+def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     from artstyletransfer_tpu.engine.transfer import TransferJob
 
     t0 = time.time()
@@ -116,9 +119,9 @@ def measure_torch_baseline(content, style, cfg, n_steps=3) -> float:
 
     init = to_nchw(c_lvls[0])
     # warmup one step, then time
-    run_steps(tl, init, 1, optimizer="adam", lr_start=cfg.lr_start)
+    run_steps(tl, init, 1, optimizer=cfg.optimizer, lr_start=cfg.lr_start)
     t0 = time.time()
-    run_steps(tl, init, n_steps, optimizer="adam", lr_start=cfg.lr_start)
+    run_steps(tl, init, n_steps, optimizer=cfg.optimizer, lr_start=cfg.lr_start)
     sps = n_steps / (time.time() - t0)
     log(f"bench: torch-CPU {sps:.4f} steps/s")
 
@@ -135,10 +138,10 @@ def main():
     from artstyletransfer_tpu.config import Config
 
     name = os.environ.get("ASTT_BENCH_CONFIG", "3level1024")
-    n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "30"))
-    overrides = BENCH_CONFIGS[name]
-    cfg = Config(optimizer="adam", stream_every=10, init_method="content+noise",
-                 **overrides)
+    n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "100"))
+    overrides = dict(BENCH_CONFIGS[name])
+    overrides.setdefault("optimizer", "adam")
+    cfg = Config(stream_every=50, init_method="content+noise", **overrides)
     content, style = load_images()
 
     import jax
@@ -156,7 +159,7 @@ def main():
 
     print(json.dumps({
         "metric": f"optimizer steps/sec, {name} pyramid transfer "
-                  f"(adam, vgg19, bird+cubism)",
+                  f"({cfg.optimizer}, vgg19, bird+cubism)",
         "value": round(ours, 4),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
