@@ -24,6 +24,7 @@ and the batched TPU executor (parallel/batch.py) can reuse this scheduler.
 from __future__ import annotations
 
 import asyncio
+import traceback
 from typing import Callable, Dict, Optional
 
 from .. import config as config_mod
@@ -65,20 +66,31 @@ class Task:
 
     async def __do_job(self):
         cfg = self.__config
-        async with _get_semaphore():
-            async for result in self.__engine(
-                    self.__content_n_style,
-                    cfg.content_weight, cfg.style_weight, cfg.tv_weight,
-                    cfg.optimizer, cfg.model, cfg.init_method,
-                    cfg.iters_num, cfg.levels_num, cfg.noise_factor,
-                    cfg.noise_levels, cfg.noise_levels_central_amplitude,
-                    cfg.noise_levels_peripheral_amplitude,
-                    cfg.noise_levels_dispersion):
-                result_copy = (result[0],
-                               result[1].copy() if result[1] is not None else None)
-                await self.__report(self.__task_id, result_copy)
-
-            await self.__job_done_callback(self.__task_id)
+        error = None
+        try:
+            async with _get_semaphore():
+                async for result in self.__engine(
+                        self.__content_n_style,
+                        cfg.content_weight, cfg.style_weight, cfg.tv_weight,
+                        cfg.optimizer, cfg.model, cfg.init_method,
+                        cfg.iters_num, cfg.levels_num, cfg.noise_factor,
+                        cfg.noise_levels, cfg.noise_levels_central_amplitude,
+                        cfg.noise_levels_peripheral_amplitude,
+                        cfg.noise_levels_dispersion):
+                    result_copy = (result[0],
+                                   result[1].copy() if result[1] is not None
+                                   else None)
+                    await self.__report(self.__task_id, result_copy)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            error = e
+            traceback.print_exc()
+        finally:
+            # Always fire job_done: the reference leaks failed tasks
+            # (SURVEY §5 — "a failed task stays in tasks_table forever");
+            # here a raised job is still removed so Executor.run() cannot
+            # wait on it indefinitely, and the exception is recorded in
+            # Executor.failures for the frontends.
+            await self.__job_done_callback(self.__task_id, error)
 
 
 class Executor:
@@ -95,6 +107,7 @@ class Executor:
         self.__report_progress = report_progress
         self.__engine = engine
         self.__verbose = verbose
+        self.failures: Dict[str, BaseException] = {}
 
     async def get_progress(self, key):
         async with self.__progress_lock:
@@ -128,9 +141,12 @@ class Executor:
         if self.__report_progress is not None:
             await self.__report_progress(task_id, result)
 
-    async def __job_done(self, task_id):
+    async def __job_done(self, task_id, error=None):
         async with self.__tasks_lock:
-            if self.__verbose:
+            if error is not None:
+                self.failures[task_id] = error
+                print(f"Task {task_id} FAILED: {type(error).__name__}: {error}")
+            elif self.__verbose:
                 print(f"Task {task_id} done")
             self.__tasks.pop(task_id)
 
@@ -147,11 +163,14 @@ class Executor:
 
     async def run(self, forever: bool = False):
         """Wait for all live jobs; with forever=True keep polling for new
-        ones (reference task_executor.py:116-129, minus the blocking sleep)."""
+        ones (reference task_executor.py:116-129, minus the blocking sleep).
+
+        Failed jobs are recorded in .failures (task_id -> exception) and
+        logged instead of being silently dropped."""
         while True:
             while True:
                 async with self.__tasks_lock:
-                    jobs = [task.job for task in self.__tasks.values()]
+                    jobs = {task.job for task in self.__tasks.values()}
                 if not jobs:
                     break
                 await asyncio.wait(jobs)

@@ -119,6 +119,30 @@ def test_report_callback_invoked():
     assert all(t == "tx" for t, _ in seen)
 
 
+def test_failed_job_is_cleaned_up_and_recorded():
+    """A raising engine must not hang run(); the failure is recorded.
+    (The reference leaks failed tasks forever — SURVEY §5.)"""
+
+    async def broken_engine(pair, *args, **kwargs):
+        await asyncio.sleep(0)
+        raise RuntimeError("engine exploded")
+        yield  # pragma: no cover — makes this an async generator
+
+    cfg = Config()
+    ex = Executor(cfg, engine=broken_engine, verbose=False)
+
+    async def go():
+        await ex.add_task("bad", _pair())
+        await ex.add_task("good", _pair())
+        # swap in a working engine for the second task? both use the same
+        # engine here; instead just ensure run() returns despite the failure
+        await asyncio.wait_for(ex.run(), timeout=5)
+
+    asyncio.run(go())
+    assert "bad" in ex.failures and "good" in ex.failures
+    assert isinstance(ex.failures["bad"], RuntimeError)
+
+
 def test_run_forever_processes_late_tasks():
     cfg = Config()
     ex = Executor(cfg, engine=fake_engine_factory(2), verbose=False)
