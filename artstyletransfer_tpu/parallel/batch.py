@@ -158,9 +158,20 @@ class BatchedTransferJob:
         self._x0 = jnp.asarray(x0)
 
     def run(self, iters_num: Optional[int] = None,
-            stream_every: Optional[int] = None
+            stream_every: Optional[int] = None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: Optional[int] = None,
+            resume: bool = False,
             ) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
-        """Yields (steps_done, images (B,H,W,3) [0,1]-domain, losses (B,))."""
+        """Yields (steps_done, images (B,H,W,3) [0,1]-domain, losses (B,)).
+
+        checkpoint_path persists the whole batch's state (all jobs resume
+        together, bit-exactly) every checkpoint_every steps.
+        """
+        import os
+
+        from ..engine.checkpoint import load_checkpoint, save_checkpoint
+
         cfg = self.cfg
         iters = iters_num if iters_num is not None else cfg.iters_num
         chunk = stream_every if stream_every is not None else cfg.stream_every
@@ -171,6 +182,10 @@ class BatchedTransferJob:
         x = jnp.array(self._x0, copy=True)
         opt_state = self._init_fn(self.params, self.targets, x)
         done = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            x_np, opt_state, done = load_checkpoint(checkpoint_path,
+                                                    opt_state)
+            x = jnp.asarray(x_np)
         top = self.level_shapes[0]  # (1, H, W, 3) per job
         while done < iters:
             k = min(chunk, iters - done)
@@ -178,6 +193,9 @@ class BatchedTransferJob:
                 self.params, self.targets, x, opt_state,
                 jnp.int32(done), int(k))
             done += k
+            if (checkpoint_path and checkpoint_every
+                    and (done % checkpoint_every == 0 or done >= iters)):
+                save_checkpoint(checkpoint_path, x, opt_state, done)
             imgs = np.asarray(x).reshape((self.batch,) + top[1:])
             imgs = np.stack([unprepare_img(im)
                              for im in imgs[:self.real_batch]])

@@ -135,6 +135,29 @@ def test_batch_rejects_mixed_shapes(jobs_data, vgg_params, rng):
                            params=vgg_params)
 
 
+def test_batched_checkpoint_resume(jobs_data, vgg_params, tmp_path):
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ckpt = str(tmp_path / "batch.npz")
+
+    full = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                              params=vgg_params)
+    _, imgs_full, losses_full = list(full.run())[-1]
+
+    half = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                              params=vgg_params)
+    list(half.run(iters_num=2, checkpoint_path=ckpt, checkpoint_every=2))
+
+    resumed = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                                 params=vgg_params)
+    _, imgs_res, losses_res = list(
+        resumed.run(iters_num=4, checkpoint_path=ckpt,
+                    checkpoint_every=100, resume=True))[-1]
+    np.testing.assert_allclose(losses_res, losses_full, rtol=1e-6)
+    np.testing.assert_allclose(imgs_res, imgs_full, rtol=1e-5, atol=1e-6)
+
+
 def test_tiny_base_diameter_rejected(jobs_data, vgg_params):
     """base_diameter < 16 would give empty VGG taps (NaN losses)."""
     contents, styles = jobs_data
