@@ -211,10 +211,39 @@ def bucket_jobs(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]]
     return dict(buckets)
 
 
+# Canonical aspect ratios (w/h) for content bucketing in serving mode.
+DEFAULT_ASPECT_BUCKETS = (1.0, 4 / 3, 3 / 4, 16 / 9, 9 / 16, 3 / 2, 2 / 3)
+
+
+def crop_to_aspect_bucket(img: np.ndarray,
+                          aspects: Sequence[float] = DEFAULT_ASPECT_BUCKETS
+                          ) -> np.ndarray:
+    """Center-crop an HWC image to the nearest canonical aspect ratio.
+
+    Jobs whose contents land in the same aspect bucket produce identical
+    pyramid shapes (level-0 shortest side is fixed), so an arbitrary
+    serving queue collapses into at most len(aspects) compiled batch
+    shapes. The crop loses at most the sliver between neighboring aspect
+    buckets (<~12% of one dimension with the defaults).
+    """
+    h, w = img.shape[:2]
+    target = min(aspects, key=lambda a: abs(a - w / h))
+    if w / h > target:
+        new_w = int(round(h * target))
+        off = (w - new_w) // 2
+        img = img[:, off:off + new_w]
+    else:
+        new_h = int(round(w / target))
+        off = (h - new_h) // 2
+        img = img[off:off + new_h, :]
+    return np.ascontiguousarray(img)
+
+
 def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   cfg: Config, params=None, mesh: Optional[Mesh] = None,
                   shard_space: bool = False, progress=None,
-                  canonicalize_styles: bool = False
+                  canonicalize_styles: bool = False,
+                  canonicalize_contents: bool = False
                   ) -> Dict[str, np.ndarray]:
     """Run an arbitrary job queue: bucket by shape, batch each bucket across
     the mesh, stream progress, return {task_id: final image}.
@@ -228,10 +257,32 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     batch regardless of style aspect ratio. Style images only contribute
     Gram statistics, so the distortion is mild — it trades exact reference
     aspect handling for much larger batches.
-    """
-    if canonicalize_styles:
-        from ..ops.resize import bicubic_resize_np
 
+    canonicalize_contents center-crops each content image to the nearest
+    canonical aspect bucket and resizes it to that bucket's exact
+    top-pyramid-level shape (lossless for the pipeline — resolution above
+    the top level is never used). An arbitrary queue then compiles at most
+    len(DEFAULT_ASPECT_BUCKETS) batch shapes.
+    """
+    from ..ops.resize import bicubic_resize_np
+
+    if canonicalize_contents:
+        scale = 2 ** (cfg.levels_num - 1)
+
+        def canon(c):
+            c = crop_to_aspect_bucket(c)
+            h, w = c.shape[:2]
+            if h >= w:
+                tw = cfg.base_diameter * scale
+                th = int(round(tw * h / w))
+            else:
+                th = cfg.base_diameter * scale
+                tw = int(round(th * w / h))
+            return bicubic_resize_np(c, th, tw)
+
+        jobs = [(tid, canon(c), s) for tid, c, s in jobs]
+
+    if canonicalize_styles:
         side = cfg.base_diameter
         jobs = [(tid, c, bicubic_resize_np(s, side, side))
                 for tid, c, s in jobs]

@@ -191,6 +191,42 @@ def test_bot_rejects_wrong_album_size():
     assert client.photos == []
 
 
+def test_bot_polling_loop_dispatches_updates():
+    """run_polling: getUpdates -> handler dispatch -> offset advance."""
+
+    class ScriptedClient(FakeTelegramClient):
+        def __init__(self):
+            super().__init__()
+            self.offsets = []
+            self.batches = [
+                [{"update_id": 5,
+                  "message": {"chat": {"id": 1}, "text": "/start",
+                              "from": {"first_name": "Bo"}}}],
+                [{"update_id": 6,
+                  "message": {"chat": {"id": 1}, "text": "hi"}}],
+            ]
+
+        async def get_updates(self, offset, timeout=30):
+            self.offsets.append(offset)
+            if self.batches:
+                return self.batches.pop(0)
+            raise asyncio.CancelledError  # end the loop
+
+    client = ScriptedClient()
+    bot = StyleTransferBot(client, Config(iters_num=2), engine=fake_engine)
+
+    async def go():
+        try:
+            await bot.run_polling()
+        except asyncio.CancelledError:
+            pass
+
+    asyncio.run(go())
+    assert client.offsets == [None, 6, 7]  # offset advances past each update
+    assert any("Bo" in t for _, t in client.messages)
+    assert any("two pictures" in t for _, t in client.messages)
+
+
 def test_bot_media_group_debounce():
     client = FakeTelegramClient()
     client.files["f1"] = _jpeg_bytes()

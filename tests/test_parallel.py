@@ -126,6 +126,34 @@ def test_run_job_queue_mixed_shapes(jobs_data, vgg_params, rng):
     assert all(p == 100.0 for _, p in seen)
 
 
+def test_canonicalized_queue_collapses_buckets(vgg_params, rng):
+    """Mixed aspect ratios collapse into one batch with canonicalization."""
+    from artstyletransfer_tpu.parallel.batch import crop_to_aspect_bucket
+
+    # near-square contents of different sizes, mixed-shape styles
+    contents = [rng.random((33, 32, 3)).astype(np.float32),
+                rng.random((50, 48, 3)).astype(np.float32),
+                rng.random((64, 66, 3)).astype(np.float32)]
+    styles = [rng.random((20, 30, 3)).astype(np.float32),
+              rng.random((40, 24, 3)).astype(np.float32),
+              rng.random((32, 32, 3)).astype(np.float32)]
+    cfg = Config(levels_num=2, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    seen = []
+    results = run_job_queue(
+        [(f"t{i}", c, s) for i, (c, s) in enumerate(zip(contents, styles))],
+        cfg, params=vgg_params, canonicalize_styles=True,
+        canonicalize_contents=True,
+        progress=lambda tid, pct, img, loss: seen.append(tid))
+    assert set(results) == {"t0", "t1", "t2"}
+    # all three imgs share the canonical square top-level shape
+    shapes = {results[t].shape for t in results}
+    assert shapes == {(32, 32, 3)}
+
+    crop = crop_to_aspect_bucket(rng.random((100, 160, 3)).astype(np.float32))
+    assert abs(crop.shape[1] / crop.shape[0] - 3 / 2) < 0.02
+
+
 def test_batch_rejects_mixed_shapes(jobs_data, vgg_params, rng):
     contents, styles = jobs_data
     bad = rng.random((10, 10, 3)).astype(np.float32)
