@@ -281,6 +281,7 @@ class TransferJob:
             checkpoint_path: Optional[str] = None,
             checkpoint_every: Optional[int] = None,
             resume: bool = False,
+            yield_images: bool = True,
             ) -> Iterator[Tuple[int, np.ndarray, float]]:
         """Run the optimization; yields (steps_done, image_hwc_rgb, loss).
 
@@ -290,6 +291,12 @@ class TransferJob:
         checkpoint_path/checkpoint_every persist the full optimization state
         every k steps; resume=True restarts from checkpoint_path if present
         (the reference has no persistence at all — SURVEY §5).
+
+        yield_images=False skips the device->host image fetch on
+        intermediate chunks (the final chunk always carries the image):
+        one D2H image copy per chunk is the entire host-side cost of
+        progress streaming, so latency-critical callers can trade preview
+        frames for throughput.
         """
         from .checkpoint import load_checkpoint, save_checkpoint
 
@@ -313,18 +320,26 @@ class TransferJob:
                 self.params, self.targets, x, opt_state,
                 jnp.int32(done), int(k))
             done += k
-            f = float(f)
-            if cfg.nan_checks and not np.isfinite(f):
-                raise FloatingPointError(
-                    f"non-finite loss {f} at step {done} "
-                    f"(optimizer={cfg.optimizer}, lr_start={cfg.lr_start}); "
-                    f"the TPU analogue of the reference's "
-                    f"autograd-anomaly guard tripped")
+            sync = yield_images or done >= iters
+            if sync:
+                # the float() conversion is the device sync point; in
+                # no-image mode intermediate chunks stay fully pipelined
+                # (the loss is yielded as a lazy device scalar)
+                f = float(f)
+                if cfg.nan_checks and not np.isfinite(f):
+                    raise FloatingPointError(
+                        f"non-finite loss {f} at step {done} "
+                        f"(optimizer={cfg.optimizer}, "
+                        f"lr_start={cfg.lr_start}); the TPU analogue of the "
+                        f"reference's autograd-anomaly guard tripped")
             if (checkpoint_path and checkpoint_every
                     and (done % checkpoint_every == 0 or done >= iters)):
                 save_checkpoint(checkpoint_path, x, opt_state, done)
-            img = unprepare_img(
-                np.asarray(x).reshape(self.level_shapes[0]))
+            if sync:
+                img = unprepare_img(
+                    np.asarray(x).reshape(self.level_shapes[0]))
+            else:
+                img = None
             yield done, img, f
 
     def initial_loss(self) -> float:

@@ -65,10 +65,14 @@ def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     log(f"bench: job setup {time.time() - t0:.1f}s; "
         f"pyramid {job.level_shapes}")
 
-    # warmup: compile + first chunk
+    # warmup: compile + first chunk (no intermediate image fetches: one D2H
+    # per chunk is the cost of progress streaming, and this host reaches the
+    # chip over a low-bandwidth tunnel that would dominate the measurement)
     t0 = time.time()
-    it = job.run(iters_num=n_steps + chunk, stream_every=chunk)
-    next(it)
+    it = job.run(iters_num=n_steps + chunk, stream_every=chunk,
+                 yield_images=False)
+    _done, _img, f0 = next(it)
+    float(f0)  # sync: warmup chunk fully executed before timing starts
     log(f"bench: compile+warmup chunk {time.time() - t0:.1f}s")
 
     t0 = time.time()
@@ -77,7 +81,7 @@ def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
         pass
     dt = time.time() - t0
     steps = done - chunk
-    log(f"bench: {steps} steps in {dt:.2f}s, final loss {f:.4e}")
+    log(f"bench: {steps} steps in {dt:.2f}s, final loss {float(f):.4e}")
     return steps / dt
 
 
