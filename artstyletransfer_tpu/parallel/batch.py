@@ -162,11 +162,15 @@ class BatchedTransferJob:
             checkpoint_path: Optional[str] = None,
             checkpoint_every: Optional[int] = None,
             resume: bool = False,
+            yield_images: bool = True,
             ) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
         """Yields (steps_done, images (B,H,W,3) [0,1]-domain, losses (B,)).
 
         checkpoint_path persists the whole batch's state (all jobs resume
         together, bit-exactly) every checkpoint_every steps.
+        yield_images=False pipelines intermediate chunks without any
+        device->host traffic (images None, losses lazy device arrays); the
+        final chunk always materializes.
         """
         import os
 
@@ -196,10 +200,14 @@ class BatchedTransferJob:
             if (checkpoint_path and checkpoint_every
                     and (done % checkpoint_every == 0 or done >= iters)):
                 save_checkpoint(checkpoint_path, x, opt_state, done)
-            imgs = np.asarray(x).reshape((self.batch,) + top[1:])
-            imgs = np.stack([unprepare_img(im)
-                             for im in imgs[:self.real_batch]])
-            yield done, imgs, np.asarray(f)[:self.real_batch]
+            if yield_images or done >= iters:
+                imgs = np.asarray(x).reshape((self.batch,) + top[1:])
+                imgs = np.stack([unprepare_img(im)
+                                 for im in imgs[:self.real_batch]])
+                losses = np.asarray(f)[:self.real_batch]
+            else:
+                imgs, losses = None, f
+            yield done, imgs, losses
 
 
 def bucket_jobs(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]]
