@@ -56,15 +56,6 @@ class ContentStylePair:
         self.style = style      # (style_img_name, style_img)
 
 
-class StepMetrics(NamedTuple):
-    total: jax.Array
-    content: jax.Array
-    style: jax.Array
-    tv: jax.Array
-    lr: jax.Array
-    n_evals: jax.Array  # cumulative loss/grad evaluations (line search incl.)
-
-
 # --------------------------------------------------------------------------
 # Loss graph
 # --------------------------------------------------------------------------

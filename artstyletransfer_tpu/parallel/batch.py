@@ -297,16 +297,29 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
 
     params = params if params is not None else load_vgg19_params(seed=cfg.seed)
     results: Dict[str, np.ndarray] = {}
+    failures: Dict[str, Exception] = {}
     for bucket in bucket_jobs(jobs).values():
         ids = [j[0] for j in bucket]
-        batch = BatchedTransferJob(
-            [j[1] for j in bucket], [j[2] for j in bucket], cfg,
-            params=params, mesh=mesh, shard_space=shard_space)
-        for done, imgs, losses in batch.run():
-            if progress is not None:
-                pct = done / cfg.iters_num * 100.0
-                for i, tid in enumerate(ids):
-                    progress(tid, pct, imgs[i], float(losses[i]))
-        for i, tid in enumerate(ids):
-            results[tid] = imgs[i]
+        try:
+            batch = BatchedTransferJob(
+                [j[1] for j in bucket], [j[2] for j in bucket], cfg,
+                params=params, mesh=mesh, shard_space=shard_space)
+            for done, imgs, losses in batch.run():
+                if progress is not None:
+                    pct = done / cfg.iters_num * 100.0
+                    for i, tid in enumerate(ids):
+                        progress(tid, pct, imgs[i], float(losses[i]))
+            for i, tid in enumerate(ids):
+                results[tid] = imgs[i]
+        except Exception as e:  # noqa: BLE001 — bucket isolation
+            # one bad bucket (e.g. OOM at an extreme shape) must not kill
+            # the rest of the queue
+            for tid in ids:
+                failures[tid] = e
+    if failures:
+        # failed task_ids are simply absent from the result dict; callers
+        # diff against their request list
+        print(f"run_job_queue: {len(failures)} job(s) failed: "
+              + ", ".join(f"{tid}: {type(e).__name__}: {e}"
+                          for tid, e in sorted(failures.items())))
     return results
