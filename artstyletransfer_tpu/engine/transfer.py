@@ -258,6 +258,7 @@ class TransferJob:
         self._metrics_fn = runners.metrics
         self.targets = runners.targets(self.params, c_pre, s_pre)
 
+        self.last_level_losses = None  # set by run(report_level_losses=True)
         if init_override is not None:
             init_img = init_override
             self.init_name = "override"
@@ -273,6 +274,7 @@ class TransferJob:
             checkpoint_every: Optional[int] = None,
             resume: bool = False,
             yield_images: bool = True,
+            report_level_losses: bool = False,
             ) -> Iterator[Tuple[int, np.ndarray, float]]:
         """Run the optimization; yields (steps_done, image_hwc_rgb, loss).
 
@@ -288,6 +290,12 @@ class TransferJob:
         one D2H image copy per chunk is the entire host-side cost of
         progress streaming, so latency-critical callers can trade preview
         frames for throughput.
+
+        report_level_losses=True computes per-level (total, content, style,
+        tv) components at every synced chunk boundary (one extra forward
+        per chunk) and stores them in self.last_level_losses — the TPU
+        analogue of the reference's per-iteration loss prints (reference
+        neural_style_transfer.py:189).
         """
         from .checkpoint import load_checkpoint, save_checkpoint
 
@@ -329,6 +337,11 @@ class TransferJob:
             if sync:
                 img = unprepare_img(
                     np.asarray(x).reshape(self.level_shapes[0]))
+                if report_level_losses:
+                    _total, per_level = self._metrics_fn(
+                        self.params, self.targets, x)
+                    self.last_level_losses = [
+                        tuple(float(v) for v in lvl) for lvl in per_level]
             else:
                 img = None
             yield done, img, f

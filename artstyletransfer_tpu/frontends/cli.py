@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ablation: constant noise weight (no Sobel map)")
     p.add_argument("--dump-masks", default=None, metavar="DIR",
                    help="dump noise/gradient mask JPEGs for inspection")
+    p.add_argument("--verbose-losses", action="store_true",
+                   help="print per-level loss components at each progress "
+                        "update (reference-style loss table)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -120,9 +123,16 @@ def run_job_checkpointed(args: argparse.Namespace, cfg: Config) -> np.ndarray:
     for done, img, loss in job.run(checkpoint_path=args.checkpoint,
                                    checkpoint_every=args.checkpoint_every
                                    or cfg.stream_every,
-                                   resume=args.resume):
+                                   resume=args.resume,
+                                   report_level_losses=args.verbose_losses):
         if not args.quiet:
             print(f"step {done}/{cfg.iters_num} loss {loss:.4e}")
+            if args.verbose_losses and job.last_level_losses:
+                for i, (lt, lc, ls, ltv) in enumerate(job.last_level_losses):
+                    print(f" - level {i} | level loss={lt:.3e}, "
+                          f"content_loss={cfg.content_weight * lc:.3e}, "
+                          f"style loss={cfg.style_weight * ls:.3e}, "
+                          f"tv loss={cfg.tv_weight * ltv:.3e}")
     return img
 
 
@@ -171,7 +181,7 @@ def main(argv=None) -> int:
               f"iters={cfg.iters_num} init={cfg.init_method} "
               f"base={cfg.base_diameter}")
     t0 = time.time()
-    if args.checkpoint:
+    if args.checkpoint or args.verbose_losses:
         img = run_job_checkpointed(args, cfg)
     else:
         img = asyncio.run(run_job(args, cfg))
