@@ -127,6 +127,18 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         html = env.get_template("index.html").render(cards=cards)
         return web.Response(text=html, content_type="text/html")
 
+    async def gallery(request: web.Request) -> web.Response:
+        """Completed results at full size — the counterpart of the
+        reference's static showcase pages (reference templates/
+        img_table.html, img_table_lvls.html, which its app never routed)."""
+        cards = []
+        for image_id in await executor.task_ids():
+            percent, _img = await executor.get_progress(image_id)
+            if percent >= 100:
+                cards.append({"image_id": image_id})
+        html = env.get_template("gallery.html").render(cards=cards)
+        return web.Response(text=html, content_type="text/html")
+
     async def serve_image(request: web.Request) -> web.Response:
         image_id = request.match_info["image_id"]
         try:
@@ -153,6 +165,7 @@ def create_app(config=None, data_dir: str = None, pairs=None,
     app = web.Application()
     app["executor"] = executor
     app.router.add_get("/", index)
+    app.router.add_get("/gallery", gallery)
     app.router.add_get("/generated/{image_id}", serve_image)
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)

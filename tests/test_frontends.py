@@ -67,6 +67,11 @@ def test_lab_routes(tmp_path):
 
             resp = await client.get("/generated/nonexistent")
             assert resp.status == 404
+
+            resp = await client.get("/gallery")
+            assert resp.status == 200
+            body = await resp.text()
+            assert "completed transfer" in body
         finally:
             await client.close()
 
