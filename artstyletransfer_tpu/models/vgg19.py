@@ -120,7 +120,8 @@ def _maxpool2(x: jax.Array) -> jax.Array:
 
 def extract_features(params: Params, x: jax.Array,
                      compute_dtype: str = "float32",
-                     precision: str = "highest") -> Vgg19Features:
+                     precision: str = "highest",
+                     use_relu: bool = True) -> Vgg19Features:
     """Run the truncated VGG19 stack and return the six taps.
 
     Args:
@@ -128,14 +129,24 @@ def extract_features(params: Params, x: jax.Array,
       x: preprocessed image batch, NHWC float32
          (pixels*255 - ImageNet mean, see utils/image.py).
       compute_dtype: 'float32' or 'bfloat16' for the conv MACs.
+      use_relu: True exposes post-ReLU taps (relu1_1..relu5_1, the
+        reference default); False exposes the pre-ReLU conv taps
+        (conv1_1..conv5_1, "as in the original paper" — reference
+        neural_nets.py:17-25). conv4_2 is pre-ReLU either way.
 
     Returns:
       Vgg19Features of float32 NHWC maps.
     """
     cdt = jnp.dtype(compute_dtype)
     taps: Dict[str, jax.Array] = {}
-    pre_wanted = {src: tap for tap, (src, kind) in _TAPS.items() if kind == "pre"}
-    post_wanted = {src: tap for tap, (src, kind) in _TAPS.items() if kind == "post"}
+    if use_relu:
+        pre_wanted = {src: tap for tap, (src, kind) in _TAPS.items()
+                      if kind == "pre"}
+        post_wanted = {src: tap for tap, (src, kind) in _TAPS.items()
+                       if kind == "post"}
+    else:
+        pre_wanted = {src: tap for tap, (src, _kind) in _TAPS.items()}
+        post_wanted = {}
 
     h = x
     for name, _ in VGG19_LAYERS:

@@ -67,6 +67,23 @@ def test_parity_with_torch_twin(vgg_params, rng):
                                    err_msg=name)
 
 
+def test_use_relu_false_gives_pre_relu_taps(vgg_params, rng):
+    """use_relu=False exposes conv taps (reference neural_nets.py:17-25)."""
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+                    * 50)
+    relu_taps = extract_features(vgg_params, x, use_relu=True)
+    conv_taps = extract_features(vgg_params, x, use_relu=False)
+    # post-ReLU taps are the clamped pre-ReLU taps
+    np.testing.assert_allclose(np.asarray(relu_taps.relu1_1),
+                               np.maximum(np.asarray(conv_taps.relu1_1), 0),
+                               rtol=1e-6)
+    # conv taps must contain negatives (no ReLU applied)
+    assert (np.asarray(conv_taps.relu1_1) < 0).any()
+    # the content tap is pre-ReLU in both modes
+    np.testing.assert_array_equal(np.asarray(relu_taps.conv4_2),
+                                  np.asarray(conv_taps.conv4_2))
+
+
 def test_count_params(vgg_params):
     # Conv stack through conv5_1: sum of 3x3 kernels + biases
     n = count_params(vgg_params)
