@@ -20,3 +20,36 @@ citations; the implementation is new and TPU-idiomatic throughout.
 __version__ = "0.1.0"
 
 from .config import Config, simultaneous_tasks_count  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keeps `import artstyletransfer_tpu` light)."""
+    lazy = {
+        "ContentStylePair": ("artstyletransfer_tpu.engine.transfer",
+                             "ContentStylePair"),
+        "TransferJob": ("artstyletransfer_tpu.engine.transfer", "TransferJob"),
+        "neural_style_transfer": ("artstyletransfer_tpu.engine.transfer",
+                                  "neural_style_transfer"),
+        "Executor": ("artstyletransfer_tpu.runtime.executor", "Executor"),
+        "prepare_model": ("artstyletransfer_tpu.models.vgg19",
+                          "prepare_model"),
+        "extract_features": ("artstyletransfer_tpu.models.vgg19",
+                             "extract_features"),
+        "load_vgg19_params": ("artstyletransfer_tpu.models.weights",
+                              "load_vgg19_params"),
+        "gram_matrix": ("artstyletransfer_tpu.ops.gram", "gram_matrix"),
+        "total_variation": ("artstyletransfer_tpu.ops.tv", "total_variation"),
+        "prepare_img": ("artstyletransfer_tpu.utils.image", "prepare_img"),
+        "unprepare_img": ("artstyletransfer_tpu.utils.image", "unprepare_img"),
+        "load_image": ("artstyletransfer_tpu.utils.image", "load_image"),
+        "run_job_queue": ("artstyletransfer_tpu.parallel.batch",
+                          "run_job_queue"),
+        "BatchedTransferJob": ("artstyletransfer_tpu.parallel.batch",
+                               "BatchedTransferJob"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
