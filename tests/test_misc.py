@@ -1,0 +1,83 @@
+"""Coverage for remaining paths: remat, CLI config resolution, cache helper,
+single-job spatial sharding."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.engine.transfer import TransferJob
+from artstyletransfer_tpu.frontends.cli import build_parser, config_from_args
+from artstyletransfer_tpu.parallel import BatchedTransferJob
+from artstyletransfer_tpu.parallel.mesh import jobs_space_mesh
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(21)
+    return (rng.random((32, 48, 3)).astype(np.float32),
+            rng.random((24, 24, 3)).astype(np.float32))
+
+
+def test_remat_levels_matches_plain(images, vgg_params):
+    """jax.checkpoint around level passes must not change results."""
+    content, style = images
+    base = Config(levels_num=2, iters_num=3, base_diameter=16,
+                  optimizer="adam", stream_every=3)
+    plain = TransferJob(content, style, base, params=vgg_params)
+    _, img_a, loss_a = list(plain.run())[-1]
+    remat = TransferJob(content, style,
+                        dataclasses.replace(base, remat_levels=True),
+                        params=vgg_params)
+    _, img_b, loss_b = list(remat.run())[-1]
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    np.testing.assert_allclose(img_a, img_b, rtol=1e-4, atol=1e-5)
+
+
+def test_single_job_spatial_mesh(images, vgg_params):
+    """One job sharded over a pure 'space' axis (the 2K scale-out shape)."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    mesh = jobs_space_mesh(1, 4)
+    batch = BatchedTransferJob([content], [style], cfg, params=vgg_params,
+                               mesh=mesh, shard_space=True)
+    done, imgs, losses = list(batch.run())[-1]
+    assert done == 2 and imgs.shape[0] == 1 and np.isfinite(losses).all()
+
+    # matches the unsharded result
+    single = TransferJob(content, style, cfg, params=vgg_params)
+    _, img_ref, loss_ref = list(single.run())[-1]
+    np.testing.assert_allclose(losses[0], loss_ref, rtol=1e-4)
+    np.testing.assert_allclose(imgs[0], img_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_cli_config_resolution():
+    parser = build_parser()
+    args = parser.parse_args([
+        "--content", "c.jpg", "--style", "s.jpg", "--output", "o.jpg",
+        "--preset", "light_gauss", "--iters", "42", "--optimizer", "adam"])
+    cfg = config_from_args(args)
+    # preset fields survive...
+    assert cfg.style_weight == 1e3 and cfg.tv_weight == 0.0
+    assert cfg.noise_levels == (32, 64, 128, -1, 0)
+    # ...explicit flags override
+    assert cfg.iters_num == 42 and cfg.optimizer == "adam"
+
+
+def test_cli_defaults_match_reference():
+    parser = build_parser()
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o"])
+    cfg = config_from_args(args)
+    assert cfg == Config()  # reference config.py defaults
+
+
+def test_compilation_cache_idempotent(tmp_path):
+    from artstyletransfer_tpu.utils import cache
+
+    cache._enabled = False
+    cache.enable_compilation_cache(str(tmp_path / "c1"))
+    assert cache._enabled
+    cache.enable_compilation_cache(str(tmp_path / "c2"))  # no-op, no raise
