@@ -313,6 +313,19 @@ class TransferJob:
             x_np, opt_state, done = load_checkpoint(checkpoint_path,
                                                     opt_state)
             x = jnp.asarray(x_np)
+            if done >= iters:
+                # the checkpoint already holds a completed run — yield its
+                # final state so callers always receive the result
+                img = unprepare_img(
+                    np.asarray(x).reshape(self.level_shapes[0]))
+                total, per_level = self._metrics_fn(self.params,
+                                                    self.targets, x)
+                if report_level_losses:
+                    self.last_level_losses = [
+                        tuple(float(v) for v in lvl) for lvl in per_level]
+                yield done, img, float(total)
+                return
+        last_saved = done
         while done < iters:
             k = min(chunk, iters - done)
             x, opt_state, f = self._chunk_fn(
@@ -332,8 +345,10 @@ class TransferJob:
                         f"lr_start={cfg.lr_start}); the TPU analogue of the "
                         f"reference's autograd-anomaly guard tripped")
             if (checkpoint_path and checkpoint_every
-                    and (done % checkpoint_every == 0 or done >= iters)):
+                    and (done - last_saved >= checkpoint_every
+                         or done >= iters)):
                 save_checkpoint(checkpoint_path, x, opt_state, done)
+                last_saved = done
             if sync:
                 img = unprepare_img(
                     np.asarray(x).reshape(self.level_shapes[0]))

@@ -60,6 +60,27 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--conv-precision", choices=["default", "high", "highest"],
                    default=None, help="MXU pass count for float32 convs")
+    p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="route Gram/TV through the Pallas kernels "
+                        "(measured slower end-to-end; default off)")
+    p.add_argument("--remat-levels", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="jax.checkpoint each pyramid level's VGG pass "
+                        "(for 4-level / 2K outputs)")
+    p.add_argument("--nan-checks", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="raise on non-finite loss at chunk boundaries "
+                        "(default on)")
+    p.add_argument("--lbfgs-history", type=int, default=None,
+                   help=f"L-BFGS memory pairs (default {d.lbfgs_history})")
+    p.add_argument("--lbfgs-max-ls-steps", type=int, default=None,
+                   help="strong-Wolfe line-search eval budget per step "
+                        f"(default {d.lbfgs_max_ls_steps})")
+    p.add_argument("--lr-start", type=float, default=None,
+                   help=f"initial learning rate (default {d.lr_start})")
+    p.add_argument("--lr-decay", type=float, default=None,
+                   help=f"per-step lr decay factor (default {d.lr_decay})")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; combine with --checkpoint-every "
                         "and --resume")
@@ -97,6 +118,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "tv_weight": "tv_weight", "noise_factor": "noise_factor",
         "base_diameter": "base_diameter", "stream_every": "stream_every",
         "compute_dtype": "compute_dtype", "conv_precision": "conv_precision",
+        "use_pallas": "use_pallas", "remat_levels": "remat_levels",
+        "nan_checks": "nan_checks", "lbfgs_history": "lbfgs_history",
+        "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
+        "lr_start": "lr_start", "lr_decay": "lr_decay",
         "seed": "seed", "demo_normal_noise": "demo_normal_noise",
         "demo_no_gaussian_mask": "demo_no_gaussian_mask",
         "demo_ignore_gradient_map": "demo_ignore_gradient_map",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import html
 import logging
 import os
 import sys
@@ -170,7 +171,9 @@ class StyleTransferBot:
             await self.respond_usage(message["chat"]["id"])
 
     async def handle_start(self, message: dict):
-        name = message.get("from", {}).get("first_name", "there")
+        # escape: the message is parse_mode=HTML and first_name is
+        # user-controlled — an unescaped '<' would 400 the sendMessage
+        name = html.escape(message.get("from", {}).get("first_name", "there"))
         await self.client.send_message(
             message["chat"]["id"],
             f"Hello, <b>{name}</b>! {USAGE_TEXT}")
@@ -249,7 +252,12 @@ class StyleTransferBot:
                     offset = update["update_id"] + 1
                     message = update.get("message")
                     if message:
-                        await self.handle_message(message)
+                        try:
+                            await self.handle_message(message)
+                        except Exception:
+                            # one malformed message must not kill the bot
+                            logger.exception("handle_message failed for "
+                                             "update %s", update["update_id"])
         finally:
             runner.cancel()
 

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..engine.transfer import _build_runners
+from ..engine.transfer import _build_runners, _config_key
 from ..engine.init_pipeline import build_init_image
 from ..engine.pyramid import build_input_pyramids
 from ..models.weights import load_vgg19_params
@@ -37,10 +37,9 @@ _BATCH_CACHE: Dict[Any, Any] = {}
 
 def _build_batched_runners(cfg: Config, level_shapes: tuple):
     """vmapped (init_fn, chunk_fn) over the leading job axis."""
-    key = ("batched",) + tuple(level_shapes) + (
-        cfg.content_weight, cfg.style_weight, cfg.tv_weight, cfg.optimizer,
-        cfg.compute_dtype, cfg.lr_start, cfg.lr_decay, cfg.lbfgs_history,
-        cfg.lbfgs_max_ls_steps, cfg.remat_levels)
+    # derived from the single-job cache key so every graph-changing knob
+    # (conv_precision, use_pallas, ...) is covered exactly once
+    key = ("batched",) + _config_key(cfg, tuple(level_shapes))
     if key in _BATCH_CACHE:
         return _BATCH_CACHE[key]
 
@@ -186,11 +185,20 @@ class BatchedTransferJob:
         x = jnp.array(self._x0, copy=True)
         opt_state = self._init_fn(self.params, self.targets, x)
         done = 0
+        top = self.level_shapes[0]  # (1, H, W, 3) per job
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             x_np, opt_state, done = load_checkpoint(checkpoint_path,
                                                     opt_state)
             x = jnp.asarray(x_np)
-        top = self.level_shapes[0]  # (1, H, W, 3) per job
+            if done >= iters:
+                # completed checkpoint — yield its final state once
+                imgs = np.asarray(x).reshape((self.batch,) + top[1:])
+                imgs = np.stack([unprepare_img(im)
+                                 for im in imgs[:self.real_batch]])
+                yield done, imgs, np.full((self.real_batch,), np.nan,
+                                          np.float32)
+                return
+        last_saved = done
         while done < iters:
             k = min(chunk, iters - done)
             x, opt_state, f = self._chunk_fn(
@@ -198,8 +206,10 @@ class BatchedTransferJob:
                 jnp.int32(done), int(k))
             done += k
             if (checkpoint_path and checkpoint_every
-                    and (done % checkpoint_every == 0 or done >= iters)):
+                    and (done - last_saved >= checkpoint_every
+                         or done >= iters)):
                 save_checkpoint(checkpoint_path, x, opt_state, done)
+                last_saved = done
             if yield_images or done >= iters:
                 imgs = np.asarray(x).reshape((self.batch,) + top[1:])
                 imgs = np.stack([unprepare_img(im)
