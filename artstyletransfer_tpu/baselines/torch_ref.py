@@ -132,14 +132,23 @@ class TorchPyramidLoss:
 
 def run_steps(loss: TorchPyramidLoss, init_img_nchw: np.ndarray, n_steps: int,
               optimizer: str = "adam", lr_start: float = 10.0,
-              lr_decay: float = 0.999) -> tuple[np.ndarray, float]:
-    """Run n optimization steps; returns (final image NCHW, last loss)."""
+              lr_decay: float = 0.999,
+              lbfgs_max_eval=None) -> tuple[np.ndarray, float]:
+    """Run n optimization steps; returns (final image NCHW, last loss).
+
+    lbfgs_max_eval: torch LBFGS max_eval. The reference leaves it at the
+    default (max_iter*5//4 = 1 for max_iter=1), which makes torch pass
+    max_ls=0 to its strong-Wolfe search — i.e. the reference performs ZERO
+    line-search iterations per step: one trial at t=lr, kept only if its
+    loss is lower. Pass max_eval=26 to get a real 25-iteration strong-Wolfe
+    search for validating the full line-search implementation.
+    """
     img = torch.from_numpy(init_img_nchw.copy()).to(loss.net.device)
     img.requires_grad_(True)
     if optimizer == "adam":
         opt = torch.optim.Adam((img,), lr=lr_start)
     elif optimizer == "lbfgs":
-        opt = torch.optim.LBFGS((img,), max_iter=1,
+        opt = torch.optim.LBFGS((img,), max_iter=1, max_eval=lbfgs_max_eval,
                                 line_search_fn="strong_wolfe", lr=lr_start)
     else:
         raise RuntimeError("Unknown optimizer")

@@ -46,9 +46,28 @@ class Config:
     #     :136 (lbfgs), :154-158 (x0.999/step decay)) ---
     lr_start: float = 10.0
     lr_decay: float = 0.999
-    lbfgs_history: int = 10             # torch default is 100; 10 is standard
-                                        # L-BFGS memory and far cheaper in HBM
-    lbfgs_max_ls_steps: int = 20        # strong-Wolfe eval budget per step
+    lr_decay_per_eval: bool = True      # reference semantics: the closure
+                                        # decays lr on EVERY invocation, and
+                                        # torch's strong-Wolfe line search
+                                        # calls it several times per L-BFGS
+                                        # step (reference
+                                        # neural_style_transfer.py:154-158).
+                                        # False = decay once per step.
+    lbfgs_history: int = 100            # matches torch's history_size
+                                        # default that the reference runs
+                                        # with; lower to ~10 to cut HBM use
+                                        # on 3level+ configs
+    lbfgs_max_ls_steps: int = 25        # strong-Wolfe iteration budget per
+                                        # step (torch max_ls). NOTE: the
+                                        # reference's torch config
+                                        # (max_iter=1, default max_eval)
+                                        # makes torch pass max_ls=0 — zero
+                                        # line-search iterations, one trial
+                                        # point kept only if better. Set 0
+                                        # for exact reference semantics; 25
+                                        # (a real strong-Wolfe search, what
+                                        # torch runs when max_eval allows)
+                                        # converges far faster per step.
 
     # --- TPU-native knobs (no reference counterpart) ---
     base_diameter: int = 256            # level-0 shortest side
@@ -81,6 +100,13 @@ class Config:
                                         # fusion around them and the full
                                         # step is ~15% slower — so the fused
                                         # XLA path is the default.
+    pool_impl: str = "reduce_window"    # VGG maxpool lowering:
+                                        # 'reduce_window' fuses into TPU
+                                        # conv fusions (fastest single-chip);
+                                        # 'slices' partitions cleanly under
+                                        # SPMD space sharding (the batched
+                                        # executor switches to it
+                                        # automatically when shard_space=True)
     nan_checks: bool = True             # raise on non-finite loss at chunk
                                         # boundaries (TPU analogue of the
                                         # reference's unconditional

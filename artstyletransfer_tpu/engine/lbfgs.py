@@ -9,10 +9,23 @@ bracket+zoom strong-Wolfe line search, and the parameter update — is a
 single XLA graph built from lax.while_loop / lax.fori_loop, so an L-BFGS
 step never leaves the TPU.
 
-Algorithms: standard two-loop recursion and the bracket/zoom strong-Wolfe
-line search with cubic interpolation (Nocedal & Wright, Numerical
-Optimization, Alg. 7.4 / 3.5-3.6). History pairs are kept in fixed-size
-(m, n) buffers indexed modulo m — static shapes, no dynamic allocation.
+The line search follows torch's strong-Wolfe algorithm decision-for-decision
+(same cubic-interpolation bounds, the same ls_iter>1 re-bracketing quirk,
+the same insufficient-progress boundary nudging and lowest-f bracket
+bookkeeping in the zoom phase), so a step here tracks
+torch.optim.LBFGS(max_iter=1, strong_wolfe) through the full pyramid loss —
+see tests/test_trajectory_parity.py. One deliberate difference: torch
+re-invokes the closure at the top of every step() even though the line
+search already evaluated loss/grad at the accepted point; this
+implementation carries (f, g) in the state instead, saving one full
+forward+backward per step at identical numerics. The lr bookkeeping for the
+reference's per-closure-call decay accounts for those skipped calls
+(engine/transfer.py).
+
+Algorithm background: Nocedal & Wright, Numerical Optimization,
+Alg. 7.4 (two-loop) / 3.5-3.6 (Wolfe bracket+zoom). History pairs are kept
+in fixed-size (m, n) buffers indexed modulo m — static shapes, no dynamic
+allocation.
 """
 
 from __future__ import annotations
@@ -23,9 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Wolfe constants (the customary values, also used by torch's line search).
+# Wolfe constants and tolerances (torch's values).
 _C1 = 1e-4
 _C2 = 0.9
+_TOL_CHANGE = 1e-9
 
 
 class LbfgsState(NamedTuple):
@@ -36,6 +50,7 @@ class LbfgsState(NamedTuple):
     f: jax.Array        # scalar loss at the current point
     g: jax.Array        # (n,)   gradient at the current point
     n_evals: jax.Array  # int32  cumulative loss/grad evaluations
+    n_iter: jax.Array   # int32  completed lbfgs_step calls (torch n_iter)
 
 
 LossGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
@@ -53,6 +68,7 @@ def init_state(loss_grad: LossGradFn, x: jax.Array, history: int) -> LbfgsState:
         f=f,
         g=g,
         n_evals=jnp.int32(1),
+        n_iter=jnp.int32(0),
     )
 
 
@@ -90,182 +106,194 @@ def _two_loop_direction(g: jax.Array, state: LbfgsState) -> jax.Array:
     return -r
 
 
-def _cubic_min(t0, f0, g0, t1, f1, g1):
-    """Minimizer of the cubic through (t0,f0,g0)/(t1,f1,g1), clipped inside."""
-    lo = jnp.minimum(t0, t1)
-    hi = jnp.maximum(t0, t1)
-    d1 = g0 + g1 - 3.0 * (f0 - f1) / (t0 - t1)
-    disc = d1 * d1 - g0 * g1
-    ok = disc >= 0.0
-    d2 = jnp.sqrt(jnp.maximum(disc, 0.0)) * jnp.sign(t1 - t0)
-    denom = g1 - g0 + 2.0 * d2
-    t = t1 - (t1 - t0) * (g1 + d2 - d1) / denom
-    t = jnp.where(ok & jnp.isfinite(t), t, 0.5 * (t0 + t1))
-    return jnp.clip(t, lo, hi)
+def _cubic_interpolate(x1, f1, g1, x2, f2, g2, bmin, bmax):
+    """Minimizer of the cubic through (x1,f1,g1)/(x2,f2,g2) clipped to
+    [bmin, bmax]; bisection fallback (torch's _cubic_interpolate)."""
+    d1 = g1 + g2 - 3.0 * (f1 - f2) / (x1 - x2)
+    d2_square = d1 * d1 - g1 * g2
+    d2 = jnp.sqrt(jnp.maximum(d2_square, 0.0))
+    min_pos_le = x2 - (x2 - x1) * ((g2 + d2 - d1) / (g2 - g1 + 2.0 * d2))
+    min_pos_gt = x1 - (x1 - x2) * ((g1 + d2 - d1) / (g1 - g2 + 2.0 * d2))
+    min_pos = jnp.where(x1 <= x2, min_pos_le, min_pos_gt)
+    ok = (d2_square >= 0.0) & jnp.isfinite(min_pos)
+    return jnp.where(ok, jnp.clip(min_pos, bmin, bmax), 0.5 * (bmin + bmax))
 
 
-class _LsState(NamedTuple):
-    phase: jax.Array    # 0 = bracketing, 1 = zoom, 2 = done
-    it: jax.Array
+class _BracketState(NamedTuple):
+    status: jax.Array   # 0 = searching, 1 = bracketed, 2 = done (accept t)
+    ls_iter: jax.Array
     n_evals: jax.Array
-    # current trial point
     t: jax.Array
     f_t: jax.Array
-    dphi_t: jax.Array
+    gtd_t: jax.Array
     g_t: jax.Array
-    # previous trial (bracketing phase)
     t_prev: jax.Array
     f_prev: jax.Array
-    dphi_prev: jax.Array
+    gtd_prev: jax.Array
     g_prev: jax.Array
-    # bracket [lo, hi] (zoom phase); lo carries its gradient for the result
-    t_lo: jax.Array
-    f_lo: jax.Array
-    dphi_lo: jax.Array
-    g_lo: jax.Array
-    t_hi: jax.Array
-    f_hi: jax.Array
-    dphi_hi: jax.Array
+
+
+class _ZoomState(NamedTuple):
+    done: jax.Array
+    insuf: jax.Array    # insufficient-progress flag
+    low: jax.Array      # index (0/1) of the lower-f bracket end
+    ls_iter: jax.Array
+    n_evals: jax.Array
+    b_t: jax.Array      # (2,)
+    b_f: jax.Array      # (2,)
+    b_gtd: jax.Array    # (2,)
+    b_g: jax.Array      # (2, n)
 
 
 def _strong_wolfe(loss_grad: LossGradFn, x: jax.Array, d: jax.Array,
                   f0: jax.Array, g0: jax.Array, t_init: jax.Array,
                   max_iter: int):
-    """Strong-Wolfe line search along d from x.
+    """Strong-Wolfe line search along d from x, tracking torch's
+    _strong_wolfe decision-for-decision.
 
-    Returns (t, f_t, g_t, n_evals). On failure returns the best (lowest-f)
-    point seen, mirroring torch's fallback behavior.
+    Returns (t, f_t, g_t, n_evals). On a failed search returns the
+    lowest-f bracket end, like torch.
     """
-    dphi0 = jnp.dot(g0, d)
+    gtd0 = jnp.dot(g0, d)
+    d_norm = jnp.max(jnp.abs(d))
 
     def eval_at(t):
         f, g = loss_grad(x + t * d)
         return f, g, jnp.dot(g, d)
 
-    f1, g1, dphi1 = eval_at(t_init)
+    def armijo_fail(t, f):
+        return f > f0 + _C1 * t * gtd0
 
-    init = _LsState(
-        phase=jnp.int32(0), it=jnp.int32(1), n_evals=jnp.int32(1),
-        t=t_init, f_t=f1, dphi_t=dphi1, g_t=g1,
-        t_prev=jnp.zeros_like(t_init), f_prev=f0, dphi_prev=dphi0, g_prev=g0,
-        t_lo=jnp.zeros_like(t_init), f_lo=f0, dphi_lo=dphi0, g_lo=g0,
-        t_hi=t_init, f_hi=f1, dphi_hi=dphi1,
+    def curv_ok(gtd):
+        return jnp.abs(gtd) <= -_C2 * gtd0
+
+    # ---- phase 1: bracketing --------------------------------------------
+    f1, g1, gtd1 = eval_at(t_init)
+    init = _BracketState(
+        status=jnp.int32(0), ls_iter=jnp.int32(0), n_evals=jnp.int32(1),
+        t=t_init, f_t=f1, gtd_t=gtd1, g_t=g1,
+        t_prev=jnp.zeros_like(t_init), f_prev=f0, gtd_prev=gtd0, g_prev=g0,
     )
 
-    armijo = lambda t, f: f <= f0 + _C1 * t * dphi0  # noqa: E731
-    curv = lambda dphi: jnp.abs(dphi) <= -_C2 * dphi0  # noqa: E731
+    def b_cond(s: _BracketState):
+        return (s.status == 0) & (s.ls_iter < max_iter)
 
-    def cond(s: _LsState):
-        return (s.phase != 2) & (s.it < max_iter)
+    def b_body(s: _BracketState) -> _BracketState:
+        # torch's quirk: the f_prev re-bracket check only arms from the
+        # third condition evaluation (ls_iter > 1)
+        fail = armijo_fail(s.t, s.f_t) | ((s.ls_iter > 1) & (s.f_t >= s.f_prev))
+        accept = curv_ok(s.gtd_t)
+        going_up = s.gtd_t >= 0.0
 
-    def body(s: _LsState) -> _LsState:
-        def bracket_phase(s: _LsState) -> _LsState:
-            fail_armijo = (~armijo(s.t, s.f_t)) | ((s.it > 1) & (s.f_t >= s.f_prev))
-            ok_curv = curv(s.dphi_t)
-            going_up = s.dphi_t >= 0.0
+        def settle(s):
+            st = jnp.where(fail, 1, jnp.where(accept, 2, 1))
+            return s._replace(status=jnp.int32(0) + st)
 
-            # enter zoom with bracket (prev, t)
-            def to_zoom_prev_t(s):
-                return s._replace(phase=jnp.int32(1),
-                                  t_lo=s.t_prev, f_lo=s.f_prev,
-                                  dphi_lo=s.dphi_prev, g_lo=s.g_prev,
-                                  t_hi=s.t, f_hi=s.f_t, dphi_hi=s.dphi_t)
+        def extrapolate(s):
+            # torch bounds: [t + 0.01*(t - t_prev), 10*t]
+            min_step = s.t + 0.01 * (s.t - s.t_prev)
+            max_step = s.t * 10.0
+            t_new = _cubic_interpolate(s.t_prev, s.f_prev, s.gtd_prev,
+                                       s.t, s.f_t, s.gtd_t,
+                                       min_step, max_step)
+            f_new, g_new, gtd_new = eval_at(t_new)
+            return s._replace(
+                t_prev=s.t, f_prev=s.f_t, gtd_prev=s.gtd_t, g_prev=s.g_t,
+                t=t_new, f_t=f_new, gtd_t=gtd_new, g_t=g_new,
+                n_evals=s.n_evals + 1, ls_iter=s.ls_iter + 1)
 
-            # enter zoom with bracket (t, prev)
-            def to_zoom_t_prev(s):
-                return s._replace(phase=jnp.int32(1),
-                                  t_lo=s.t, f_lo=s.f_t,
-                                  dphi_lo=s.dphi_t, g_lo=s.g_t,
-                                  t_hi=s.t_prev, f_hi=s.f_prev,
-                                  dphi_hi=s.dphi_prev)
+        return lax.cond(fail | accept | going_up, settle, extrapolate, s)
 
-            def accept(s):
-                return s._replace(phase=jnp.int32(2),
-                                  t_lo=s.t, f_lo=s.f_t,
-                                  dphi_lo=s.dphi_t, g_lo=s.g_t)
+    br = lax.while_loop(b_cond, b_body, init)
 
-            def extrapolate(s):
-                # widen: cubic extrapolation bounded to [2t, 10t]
-                t_new = _cubic_min(s.t_prev, s.f_prev, s.dphi_prev,
-                                   s.t, s.f_t, s.dphi_t)
-                t_new = jnp.clip(t_new, 2.0 * s.t, 10.0 * s.t)
-                f_new, g_new, dphi_new = eval_at(t_new)
-                return s._replace(
-                    t_prev=s.t, f_prev=s.f_t, dphi_prev=s.dphi_t, g_prev=s.g_t,
-                    t=t_new, f_t=f_new, dphi_t=dphi_new, g_t=g_new,
-                    n_evals=s.n_evals + 1)
+    exhausted = br.status == 0   # ls_iter hit max_iter while bracketing
+    accepted = br.status == 2
 
-            return lax.cond(
-                fail_armijo, to_zoom_prev_t,
-                lambda s: lax.cond(
-                    ok_curv, accept,
-                    lambda s: lax.cond(going_up, to_zoom_t_prev, extrapolate, s),
-                    s),
-                s)
+    # bracket contents:
+    #   exhausted      -> [0, t]        with (f0, g0) and the last trial
+    #   bracketed      -> [t_prev, t]
+    #   accepted(done) -> [t, t] (zoom is skipped)
+    e0_t = jnp.where(exhausted, jnp.zeros_like(br.t),
+                     jnp.where(accepted, br.t, br.t_prev))
+    e0_f = jnp.where(exhausted, f0, jnp.where(accepted, br.f_t, br.f_prev))
+    e0_gtd = jnp.where(exhausted, gtd0,
+                       jnp.where(accepted, br.gtd_t, br.gtd_prev))
+    e0_g = jnp.where(exhausted, g0, jnp.where(accepted, br.g_t, br.g_prev))
+    b_t = jnp.stack([e0_t, br.t])
+    b_f = jnp.stack([e0_f, br.f_t])
+    b_gtd = jnp.stack([e0_gtd, br.gtd_t])
+    b_g = jnp.stack([e0_g, br.g_t])
 
-        def zoom_phase(s: _LsState) -> _LsState:
-            span = jnp.abs(s.t_hi - s.t_lo)
-            t_new = _cubic_min(s.t_lo, s.f_lo, s.dphi_lo,
-                               s.t_hi, s.f_hi, s.dphi_hi)
-            # keep the trial strictly interior (bisect if it sticks to an end)
-            margin = 0.1 * span
-            t_new = jnp.clip(t_new,
-                             jnp.minimum(s.t_lo, s.t_hi) + margin,
-                             jnp.maximum(s.t_lo, s.t_hi) - margin)
-            f_new, g_new, dphi_new = eval_at(t_new)
-            s = s._replace(n_evals=s.n_evals + 1)
+    # ---- phase 2: zoom ----------------------------------------------------
+    zinit = _ZoomState(
+        done=accepted, insuf=jnp.bool_(False),
+        low=jnp.where(b_f[0] <= b_f[1], jnp.int32(0), jnp.int32(1)),
+        ls_iter=br.ls_iter, n_evals=br.n_evals,
+        b_t=b_t, b_f=b_f, b_gtd=b_gtd, b_g=b_g,
+    )
 
-            fail = (~armijo(t_new, f_new)) | (f_new >= s.f_lo)
+    def z_cond(s: _ZoomState):
+        wide = jnp.abs(s.b_t[1] - s.b_t[0]) * d_norm >= _TOL_CHANGE
+        return (~s.done) & (s.ls_iter < max_iter) & wide
 
-            def shrink_hi(s):
-                return s._replace(t_hi=t_new, f_hi=f_new, dphi_hi=dphi_new)
+    def z_body(s: _ZoomState) -> _ZoomState:
+        lo = s.low
+        hi = 1 - lo
+        bmin = jnp.minimum(s.b_t[0], s.b_t[1])
+        bmax = jnp.maximum(s.b_t[0], s.b_t[1])
+        t = _cubic_interpolate(s.b_t[0], s.b_f[0], s.b_gtd[0],
+                               s.b_t[1], s.b_f[1], s.b_gtd[1], bmin, bmax)
+        # torch's insufficient-progress guard: a trial within 10% of a
+        # boundary is tolerated once, then nudged to boundary - eps
+        eps = 0.1 * (bmax - bmin)
+        close = jnp.minimum(bmax - t, t - bmin) < eps
+        nudge = s.insuf | (t >= bmax) | (t <= bmin)
+        t_nudged = jnp.where(jnp.abs(t - bmax) < jnp.abs(t - bmin),
+                             bmax - eps, bmin + eps)
+        t = jnp.where(close & nudge, t_nudged, t)
+        insuf_new = close & ~nudge
 
-            def progress(s):
-                def accept(s):
-                    return s._replace(phase=jnp.int32(2), t_lo=t_new,
-                                      f_lo=f_new, dphi_lo=dphi_new, g_lo=g_new)
+        f_t, g_t, gtd_t = eval_at(t)
+        fail = armijo_fail(t, f_t) | (f_t >= s.b_f[lo])
 
-                def move_lo(s):
-                    flip = dphi_new * (s.t_hi - s.t_lo) >= 0.0
-                    s = lax.cond(
-                        flip,
-                        lambda s: s._replace(t_hi=s.t_lo, f_hi=s.f_lo,
-                                             dphi_hi=s.dphi_lo),
-                        lambda s: s, s)
-                    return s._replace(t_lo=t_new, f_lo=f_new,
-                                      dphi_lo=dphi_new, g_lo=g_new)
+        # fail branch: new point becomes the high end; relabel low by f
+        ft_t = s.b_t.at[hi].set(t)
+        ft_f = s.b_f.at[hi].set(f_t)
+        ft_gtd = s.b_gtd.at[hi].set(gtd_t)
+        ft_g = s.b_g.at[hi].set(g_t)
+        low_fail = jnp.where(ft_f[0] <= ft_f[1], jnp.int32(0), jnp.int32(1))
 
-                return lax.cond(curv(dphi_new), accept, move_lo, s)
+        # success branch: maybe flip high<-low, then new point becomes low
+        done_new = curv_ok(gtd_t)
+        flip = gtd_t * (s.b_t[hi] - s.b_t[lo]) >= 0.0
+        el_t = jnp.where(flip, s.b_t.at[hi].set(s.b_t[lo]), s.b_t)
+        el_f = jnp.where(flip, s.b_f.at[hi].set(s.b_f[lo]), s.b_f)
+        el_gtd = jnp.where(flip, s.b_gtd.at[hi].set(s.b_gtd[lo]), s.b_gtd)
+        el_g = jnp.where(flip, s.b_g.at[hi].set(s.b_g[lo]), s.b_g)
+        el_t = el_t.at[lo].set(t)
+        el_f = el_f.at[lo].set(f_t)
+        el_gtd = el_gtd.at[lo].set(gtd_t)
+        el_g = el_g.at[lo].set(g_t)
 
-            s = lax.cond(fail, shrink_hi, progress, s)
-            # give up on a vanishing bracket: accept lo
-            tiny = span <= 1e-9 * jnp.maximum(jnp.abs(s.t_hi), 1.0)
-            return lax.cond(tiny,
-                            lambda s: s._replace(phase=jnp.int32(2)),
-                            lambda s: s, s)
+        return _ZoomState(
+            done=jnp.where(fail, s.done, done_new),
+            insuf=insuf_new,
+            low=jnp.where(fail, low_fail, lo),
+            ls_iter=s.ls_iter + 1,
+            n_evals=s.n_evals + 1,
+            b_t=jnp.where(fail, ft_t, el_t),
+            b_f=jnp.where(fail, ft_f, el_f),
+            b_gtd=jnp.where(fail, ft_gtd, el_gtd),
+            b_g=jnp.where(fail, ft_g, el_g),
+        )
 
-        s = lax.cond(s.phase == 0, bracket_phase, zoom_phase, s)
-        return s._replace(it=s.it + 1)
-
-    out = lax.while_loop(cond, body, init)
-
-    # Result: the accepted point lives in (t_lo, f_lo, g_lo). If the search
-    # timed out while bracketing, fall back to the better of (t, prev).
-    timed_out_bracketing = (out.phase == 0)
-    t_res = jnp.where(timed_out_bracketing,
-                      jnp.where(out.f_t < out.f_prev, out.t, out.t_prev),
-                      out.t_lo)
-    f_res = jnp.where(timed_out_bracketing,
-                      jnp.minimum(out.f_t, out.f_prev),
-                      out.f_lo)
-    g_res = jnp.where(timed_out_bracketing,
-                      jnp.where(out.f_t < out.f_prev, out.g_t, out.g_prev),
-                      out.g_lo)
-    return t_res, f_res, g_res, out.n_evals
+    out = lax.while_loop(z_cond, z_body, zinit)
+    lo = out.low
+    return out.b_t[lo], out.b_f[lo], out.b_g[lo], out.n_evals
 
 
 def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
-               lr: jax.Array, max_ls_steps: int = 20
+               lr: jax.Array, max_ls_steps: int = 25
                ) -> Tuple[jax.Array, LbfgsState]:
     """One L-BFGS iteration (direction + strong-Wolfe search + history update).
 
@@ -282,11 +310,10 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
     # fall back to steepest descent on a non-descent direction
     bad = dphi0 >= 0.0
     d = jnp.where(bad, -g0, d)
-    dphi0 = jnp.where(bad, -jnp.dot(g0, g0), dphi0)
 
     # initial trial step: torch scales the very first step by min(1, 1/|g|_1)
     g_l1 = jnp.sum(jnp.abs(g0))
-    t0 = jnp.where(state.count == 0,
+    t0 = jnp.where(state.n_iter == 0,
                    lr * jnp.minimum(1.0, 1.0 / jnp.maximum(g_l1, 1e-20)),
                    lr)
 
@@ -297,7 +324,7 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
     s = t * d
     y = g_new - g0
     ys = jnp.dot(y, s)
-    store = ys > 1e-10
+    store = ys > 1e-10   # torch's curvature guard for the history update
 
     idx = jnp.mod(state.count, m)
     s_hist = jnp.where(store, state.s_hist.at[idx].set(s), state.s_hist)
@@ -308,6 +335,7 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
 
     new_state = LbfgsState(
         s_hist=s_hist, y_hist=y_hist, rho=rho, count=count,
-        f=f_new, g=g_new, n_evals=state.n_evals + ls_evals + 0,
+        f=f_new, g=g_new, n_evals=state.n_evals + ls_evals,
+        n_iter=state.n_iter + 1,
     )
     return x_new, new_state

@@ -88,7 +88,8 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
 
             def level_pass(params, cur, lvl=lvl):
                 feats = extract_features(params, cur, cfg.compute_dtype,
-                                          cfg.conv_precision)
+                                          cfg.conv_precision,
+                                          pool_impl=cfg.pool_impl)
                 t_content, t_grams = targets[lvl]
                 return level_loss(
                     feats, t_content, t_grams, cur,
@@ -115,9 +116,11 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
     targets = []
     for c_img, s_img in zip(content_levels_pre, style_levels_pre):
         c_feats = extract_features(params, c_img, cfg.compute_dtype,
-                                   cfg.conv_precision)
+                                   cfg.conv_precision,
+                                   pool_impl=cfg.pool_impl)
         s_feats = extract_features(params, s_img, cfg.compute_dtype,
-                                   cfg.conv_precision)
+                                   cfg.conv_precision,
+                                   pool_impl=cfg.pool_impl)
         t_content = c_feats[CONTENT_INDEX]
         t_grams = tuple(gram_matrix(s_feats[i]) for i in STYLE_INDICES)
         targets.append((t_content, t_grams))
@@ -149,8 +152,9 @@ def _config_key(cfg: Config, level_shapes) -> tuple:
             cfg.tv_weight, cfg.optimizer, cfg.compute_dtype,
             cfg.conv_precision,
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
+            cfg.lr_decay_per_eval,
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels,
-            cfg.use_pallas and _on_tpu())
+            cfg.pool_impl, cfg.use_pallas and _on_tpu())
 
 
 def _build_runners(cfg: Config, level_shapes):
@@ -192,8 +196,22 @@ def _build_runners(cfg: Config, level_shapes):
 
         def one_step(params, targets, x, opt_state, step):
             lg = partial(loss_grad, params, targets)
+            if cfg.lr_decay_per_eval:
+                # Reference semantics: the closure decays lr x0.999 on EVERY
+                # invocation (reference neural_style_transfer.py:154-158) and
+                # torch's strong-Wolfe calls it (1 top call + ls_evals) times
+                # per step, while step() reads group['lr'] before its own top
+                # call. Closure calls before step k's read =
+                # (k-1 top calls) + (line-search evals so far); our
+                # init_state eval stands in for step 1's top call, so the
+                # exponent is step + (n_evals - 1).
+                expo = (opt_state.n_evals.astype(jnp.float32)
+                        + step.astype(jnp.float32) - 1.0)
+                lr = cfg.lr_start * jnp.power(jnp.float32(cfg.lr_decay), expo)
+            else:
+                lr = lr_at(step)
             x, opt_state = lbfgs_mod.lbfgs_step(
-                lg, x, opt_state, lr_at(step),
+                lg, x, opt_state, lr,
                 max_ls_steps=cfg.lbfgs_max_ls_steps)
             return x, opt_state, opt_state.f
 

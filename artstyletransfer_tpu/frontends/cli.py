@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--conv-precision", choices=["default", "high", "highest"],
                    default=None, help="MXU pass count for float32 convs")
+    p.add_argument("--pool-impl", choices=["reduce_window", "slices"],
+                   default=None,
+                   help="VGG maxpool lowering (reduce_window = fastest "
+                        "single-chip; slices = SPMD-clean)")
     p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="route Gram/TV through the Pallas kernels "
@@ -81,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help=f"initial learning rate (default {d.lr_start})")
     p.add_argument("--lr-decay", type=float, default=None,
                    help=f"per-step lr decay factor (default {d.lr_decay})")
+    p.add_argument("--lr-decay-per-eval",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="decay lr per closure evaluation like the reference "
+                        "(default on); --no-lr-decay-per-eval decays once "
+                        "per step")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; combine with --checkpoint-every "
                         "and --resume")
@@ -118,10 +127,12 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "tv_weight": "tv_weight", "noise_factor": "noise_factor",
         "base_diameter": "base_diameter", "stream_every": "stream_every",
         "compute_dtype": "compute_dtype", "conv_precision": "conv_precision",
+        "pool_impl": "pool_impl",
         "use_pallas": "use_pallas", "remat_levels": "remat_levels",
         "nan_checks": "nan_checks", "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
         "lr_start": "lr_start", "lr_decay": "lr_decay",
+        "lr_decay_per_eval": "lr_decay_per_eval",
         "seed": "seed", "demo_normal_noise": "demo_normal_noise",
         "demo_no_gaussian_mask": "demo_no_gaussian_mask",
         "demo_ignore_gradient_map": "demo_ignore_gradient_map",

@@ -109,20 +109,28 @@ def create_app(config=None, data_dir: str = None, pairs=None,
             asyncio.run_coroutine_threadsafe(
                 executor.set_progress(tid, (pct, img)), loop).result()
 
-        await loop.run_in_executor(
+        _results, failures = await loop.run_in_executor(
             None, lambda: run_job_queue(jobs, config, progress=report,
                                         canonicalize_styles=True))
+        # surface failed jobs: record the exception and mark the card so
+        # it renders as an error instead of a forever-stuck progress bar
+        for tid, exc in failures.items():
+            executor.failures[tid] = exc
 
     async def index(request: web.Request) -> web.Response:
         cards = []
         for image_id in await executor.task_ids():
             percent, _img = await executor.get_progress(image_id)
             percent = percent if percent > 0 else 0
+            failure = executor.failures.get(image_id)
             cards.append({
                 "image_id": image_id,
                 "percent": percent,
                 "cur_iter": percent / 100.0 * config.iters_num,
                 "iters_num": config.iters_num,
+                "failed": failure is not None,
+                "error": (f"{type(failure).__name__}: {failure}"
+                          if failure is not None else ""),
             })
         html = env.get_template("index.html").render(cards=cards)
         return web.Response(text=html, content_type="text/html")

@@ -165,3 +165,38 @@ def load_vgg19_params(path: Optional[str] = None, seed: int = 0,
         return params
 
     return init_vgg19_params(seed=seed)
+
+
+def convert_weights_main(argv=None) -> int:
+    """``astt-convert-weights``: convert torchvision ``.pth`` / Keras ``.h5``
+    VGG19 weights to the native ``.npz`` format (and optionally install them
+    into the cache so every run picks them up automatically).
+
+    The reference downloads pretrained weights at first use (reference
+    neural_nets.py:19); on a zero-egress host, drop a weights file here
+    instead:
+
+        astt-convert-weights vgg19-dcbb9e9d.pth -o vgg19.npz --install
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="astt-convert-weights")
+    parser.add_argument("input", help="source weights (.pth/.pt/.h5/.npz)")
+    parser.add_argument("-o", "--output", default=None,
+                        help="output .npz path (default: <input>.npz)")
+    parser.add_argument("--install", action="store_true",
+                        help=f"also install into the cache ({_CACHE_FILE}) "
+                             "so all runs resolve them automatically")
+    args = parser.parse_args(argv)
+
+    params = load_vgg19_params(args.input, cache=False)
+    out = args.output or os.path.splitext(args.input)[0] + ".npz"
+    save_vgg19_params(params, out)
+    n = sum(int(np.prod(v["w"].shape)) + int(np.prod(v["b"].shape))
+            for v in params.values())
+    print(f"wrote {out} ({len(params)} conv layers, {n:,} parameters)")
+    if args.install:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        save_vgg19_params(params, _CACHE_FILE)
+        print(f"installed -> {_CACHE_FILE}")
+    return 0

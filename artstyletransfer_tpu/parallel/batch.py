@@ -78,6 +78,14 @@ class BatchedTransferJob:
                  shard_space: bool = False,
                  init_overrides: Optional[Sequence[np.ndarray]] = None):
         assert len(contents) == len(styles) and contents
+        if (shard_space and mesh is not None and "space" in mesh.axis_names
+                and mesh.shape["space"] > 1
+                and cfg.pool_impl == "reduce_window"):
+            # reduce_window's select-and-scatter triggers SPMD involuntary
+            # rematerialization fallbacks under space sharding; the slice
+            # pool partitions cleanly (identical forward semantics)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, pool_impl="slices")
         self.cfg = cfg
         self.batch = len(contents)
         self.mesh = mesh
@@ -262,9 +270,14 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   shard_space: bool = False, progress=None,
                   canonicalize_styles: bool = False,
                   canonicalize_contents: bool = False
-                  ) -> Dict[str, np.ndarray]:
+                  ) -> Tuple[Dict[str, np.ndarray], Dict[str, Exception]]:
     """Run an arbitrary job queue: bucket by shape, batch each bucket across
-    the mesh, stream progress, return {task_id: final image}.
+    the mesh, stream progress.
+
+    Returns ({task_id: final image}, {task_id: exception}): a failed bucket
+    (e.g. OOM at an extreme shape) is isolated — its task_ids land in the
+    failures dict instead of killing the rest of the queue, and callers can
+    surface the error state to users (the lab renders a failed card).
 
     This is the TPU replacement for the reference's semaphore-throttled
     sequential queue (reference task_executor.py): a full 20-pair lab run
@@ -327,9 +340,10 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
             for tid in ids:
                 failures[tid] = e
     if failures:
-        # failed task_ids are simply absent from the result dict; callers
-        # diff against their request list
+        import sys
+
         print(f"run_job_queue: {len(failures)} job(s) failed: "
               + ", ".join(f"{tid}: {type(e).__name__}: {e}"
-                          for tid, e in sorted(failures.items())))
-    return results
+                          for tid, e in sorted(failures.items())),
+              file=sys.stderr)
+    return results, failures

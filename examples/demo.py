@@ -33,13 +33,15 @@ def main():
     # --- batched queue: all styles at once, sharded over available chips ---
     if len(styles) > 1:
         jobs = [(f"job{i}", content, s) for i, s in enumerate(styles)]
-        results = run_job_queue(
+        results, failures = run_job_queue(
             jobs, Config(levels_num=2, iters_num=200, optimizer="adam"),
             canonicalize_styles=True,
             progress=lambda tid, pct, img, loss:
                 print(f"batch: {tid} {pct:.0f}%  loss {loss:.3e}"))
         for tid, img in results.items():
             save_image(np.clip(img, 0, 1), f"out_{tid}.jpg")
+        for tid, exc in failures.items():
+            print(f"batch: {tid} FAILED: {exc}")
     return 0
 
 

@@ -249,3 +249,40 @@ def test_bot_media_group_debounce():
     asyncio.run(go())
     assert any("Processing has started" in t for _, t in client.messages)
     assert any(c == "Done!" for _, c in client.photos)
+
+
+def test_lab_batched_failure_renders_error_state(tmp_path):
+    """A failed batched job renders a FAILED card, not a stuck progress bar."""
+    _write_demo_images(tmp_path)
+    from artstyletransfer_tpu.config import Config as Cfg
+    from artstyletransfer_tpu.frontends import lab as lab_mod
+
+    cfg = Cfg(levels_num=1, iters_num=2, base_diameter=16,
+              optimizer="adam", stream_every=2)
+    app = create_app(config=cfg, data_dir=str(tmp_path),
+                     pairs=[("c.jpg", "s.jpg")], batched=True)
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # wait for the batch to run, then poison the record as if the
+            # bucket had failed (run_job_queue's failure contract)
+            for _ in range(120):
+                await asyncio.sleep(0.5)
+                ids = await app["executor"].task_ids()
+                if ids:
+                    pct, _ = await app["executor"].get_progress(ids[0])
+                    if pct >= 100:
+                        break
+            ids = await app["executor"].task_ids()
+            app["executor"].failures[ids[0]] = RuntimeError("boom at 2K")
+            resp = await client.get("/")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "FAILED" in html
+            assert "RuntimeError: boom at 2K" in html
+        finally:
+            await client.close()
+
+    asyncio.run(go())

@@ -18,8 +18,31 @@ from artstyletransfer_tpu.ops.pallas_kernels import (
 
 def test_gram_supported_shapes():
     assert gram_supported((1, 32, 32, 128))
-    assert not gram_supported((1, 32, 32, 64))    # lane dim < 128
+    assert gram_supported((1, 32, 32, 64))        # relu1_1's channel width
     assert gram_supported((1, 64, 96, 256))
+    assert not gram_supported((1, 32, 32, 48))    # not a lane multiple
+    assert not gram_supported((1, 7, 13, 128))    # no mult-of-8 row tile
+
+
+def test_gram_pallas_c64_matches_xla(rng):
+    """relu1_1-shaped gram (c=64, the largest tap) incl. backward."""
+    x = jnp.asarray(rng.standard_normal((1, 16, 24, 64)).astype(np.float32))
+    ours = np.asarray(gram_pallas(x, True, True))
+    ref = np.asarray(gram_matrix(x))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    target = jnp.asarray(rng.standard_normal((1, 64, 64)).astype(np.float32))
+
+    def loss_pallas(x):
+        return jnp.mean(jnp.square(gram_pallas(x, True, True) - target))
+
+    def loss_xla(x):
+        return jnp.mean(jnp.square(gram_matrix(x) - target))
+
+    g_pallas = jax.grad(loss_pallas)(x)
+    g_xla = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_gram_pallas_matches_xla(rng):

@@ -117,10 +117,11 @@ def test_run_job_queue_mixed_shapes(jobs_data, vgg_params, rng):
             ("b", contents[1], styles[1]),
             ("c", other_content, styles[2])]
     seen = []
-    results = run_job_queue(jobs, cfg, params=vgg_params, mesh=jobs_mesh(2),
-                            progress=lambda tid, pct, img, loss:
-                            seen.append((tid, pct)))
-    assert set(results) == {"a", "b", "c"}
+    results, failures = run_job_queue(jobs, cfg, params=vgg_params,
+                                      mesh=jobs_mesh(2),
+                                      progress=lambda tid, pct, img, loss:
+                                      seen.append((tid, pct)))
+    assert set(results) == {"a", "b", "c"} and failures == {}
     assert results["a"].shape[-1] == 3
     assert {t for t, _ in seen} == {"a", "b", "c"}
     assert all(p == 100.0 for _, p in seen)
@@ -140,7 +141,7 @@ def test_canonicalized_queue_collapses_buckets(vgg_params, rng):
     cfg = Config(levels_num=2, iters_num=2, base_diameter=16,
                  optimizer="adam", stream_every=2)
     seen = []
-    results = run_job_queue(
+    results, _failures = run_job_queue(
         [(f"t{i}", c, s) for i, (c, s) in enumerate(zip(contents, styles))],
         cfg, params=vgg_params, canonicalize_styles=True,
         canonicalize_contents=True,
@@ -204,3 +205,19 @@ def test_batch_padding_to_mesh(jobs_data, vgg_params):
     assert batch.batch == 4 and batch.real_batch == 3
     done, imgs, losses = list(batch.run())[-1]
     assert imgs.shape[0] == 3 and losses.shape == (3,)
+
+
+def test_run_job_queue_poisoned_bucket_isolated(vgg_params, rng):
+    """A bucket that raises must not kill the queue: its task_ids land in
+    the failures dict while other buckets complete (round-1 gap: failures
+    were only printed and returned as absence)."""
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    good_c = rng.random((32, 48, 3)).astype(np.float32)
+    good_s = rng.random((24, 24, 3)).astype(np.float32)
+    bad_c = np.zeros((0, 0, 3), np.float32)  # empty image -> pyramid raises
+    jobs = [("ok", good_c, good_s), ("poison", bad_c, good_s)]
+    results, failures = run_job_queue(jobs, cfg, params=vgg_params)
+    assert set(results) == {"ok"}
+    assert set(failures) == {"poison"}
+    assert isinstance(failures["poison"], Exception)
