@@ -63,7 +63,8 @@ def default_data_dir() -> str:
 
 def create_app(config=None, data_dir: str = None, pairs=None,
                autostart: bool = True, engine=None,
-               batched: bool = False) -> web.Application:
+               batched: bool = False,
+               results_dir: str = None) -> web.Application:
     """Build the lab application. `engine`/`pairs` are injectable for tests.
 
     batched=True replaces the reference's 2-at-a-time semaphore scheduling
@@ -73,6 +74,8 @@ def create_app(config=None, data_dir: str = None, pairs=None,
     """
     config = config or STANDARD_GAUSS_NOISE_CONFIG
     data_dir = data_dir or default_data_dir()
+    results_dir = results_dir or os.environ.get(
+        "ASTT_RESULTS_DIR", os.path.join(data_dir, "..", "results"))
     pairs = pairs if pairs is not None else CONTENT_STYLE_FILENAME_PAIRS
 
     executor = Executor(config, engine=engine, verbose=False)
@@ -147,6 +150,57 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         html = env.get_template("gallery.html").render(cards=cards)
         return web.Response(text=html, content_type="text/html")
 
+    async def showcase(request: web.Request) -> web.Response:
+        """Corpus grid — the functional equivalent of the reference's static
+        showcase page (reference templates/img_table.html, which its app
+        never routed; here it is routed and driven by the live corpus)."""
+        def listing(sub):
+            d = os.path.join(data_dir, sub)
+            if not os.path.isdir(d):
+                return []
+            return sorted(f for f in os.listdir(d)
+                          if f.lower().endswith((".jpg", ".jpeg", ".png")))
+
+        html = env.get_template("showcase.html").render(
+            contents=listing("content-images"), styles=listing("style-images"))
+        return web.Response(text=html, content_type="text/html")
+
+    async def showcase_levels(request: web.Request) -> web.Response:
+        """Per-level result progressions — equivalent of the reference's
+        templates/img_table_lvls.html (pre-rendered <name>_lvl<k>.jpg
+        files, reference img/bird_vg_lvl{1,2,3}.jpg)."""
+        import re
+
+        groups = {}
+        if os.path.isdir(results_dir):
+            for f in sorted(os.listdir(results_dir)):
+                m = re.match(r"(.+)_lvl(\d+)\.(jpg|jpeg|png)$", f)
+                if m:
+                    groups.setdefault(m.group(1), []).append(
+                        (int(m.group(2)), f))
+        ordered = [{"name": k, "files": [f for _n, f in sorted(v)]}
+                   for k, v in sorted(groups.items())]
+        html = env.get_template("showcase_levels.html").render(groups=ordered)
+        return web.Response(text=html, content_type="text/html")
+
+    def _safe_file(root, name):
+        path = os.path.realpath(os.path.join(root, name))
+        if not path.startswith(os.path.realpath(root) + os.sep) \
+                or not os.path.isfile(path):
+            raise web.HTTPNotFound(text="No such file")
+        return path
+
+    async def serve_data(request: web.Request) -> web.FileResponse:
+        sub = request.match_info["sub"]
+        if sub not in ("content-images", "style-images"):
+            raise web.HTTPNotFound(text="No such collection")
+        return web.FileResponse(_safe_file(os.path.join(data_dir, sub),
+                                           request.match_info["name"]))
+
+    async def serve_result(request: web.Request) -> web.FileResponse:
+        return web.FileResponse(_safe_file(results_dir,
+                                           request.match_info["name"]))
+
     async def serve_image(request: web.Request) -> web.Response:
         image_id = request.match_info["image_id"]
         try:
@@ -174,6 +228,10 @@ def create_app(config=None, data_dir: str = None, pairs=None,
     app["executor"] = executor
     app.router.add_get("/", index)
     app.router.add_get("/gallery", gallery)
+    app.router.add_get("/showcase", showcase)
+    app.router.add_get("/showcase/levels", showcase_levels)
+    app.router.add_get("/data/{sub}/{name}", serve_data)
+    app.router.add_get("/results/{name}", serve_result)
     app.router.add_get("/generated/{image_id}", serve_image)
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)

@@ -286,3 +286,51 @@ def test_lab_batched_failure_renders_error_state(tmp_path):
             await client.close()
 
     asyncio.run(go())
+
+
+def test_lab_showcase_routes(tmp_path):
+    """/showcase and /showcase/levels — routed equivalents of the
+    reference's static img_table*.html pages (which its app never served)."""
+    _write_demo_images(tmp_path)
+    import cv2
+
+    results = tmp_path / "results"
+    results.mkdir()
+    img = (np.random.default_rng(1).random((8, 8, 3)) * 255).astype("uint8")
+    for k in (1, 2):
+        cv2.imwrite(str(results / f"bird_vg_lvl{k}.jpg"), img)
+
+    app = create_app(config=Config(iters_num=2), data_dir=str(tmp_path),
+                     pairs=[], engine=fake_engine, autostart=False,
+                     results_dir=str(results))
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/showcase")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "c.jpg" in html and "s.jpg" in html
+
+            resp = await client.get("/data/content-images/c.jpg")
+            assert resp.status == 200
+            assert (await resp.read())[:2] == b"\xff\xd8"
+
+            resp = await client.get("/showcase/levels")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "bird_vg" in html and "bird_vg_lvl2.jpg" in html
+
+            resp = await client.get("/results/bird_vg_lvl1.jpg")
+            assert resp.status == 200
+
+            # traversal attempts are rejected
+            resp = await client.get("/data/content-images/..%2F..%2Fetc")
+            assert resp.status == 404
+            resp = await client.get("/results/nonexistent.jpg")
+            assert resp.status == 404
+        finally:
+            await client.close()
+
+    asyncio.run(go())
