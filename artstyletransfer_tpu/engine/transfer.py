@@ -121,7 +121,8 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
         s_feats = extract_features(params, s_img, cfg.compute_dtype,
                                    cfg.conv_precision,
                                    pool_impl=cfg.pool_impl)
-        t_content = c_feats[CONTENT_INDEX]
+        # targets are computed once and kept f32 regardless of compute dtype
+        t_content = c_feats[CONTENT_INDEX].astype(jnp.float32)
         t_grams = tuple(gram_matrix(s_feats[i]) for i in STYLE_INDICES)
         targets.append((t_content, t_grams))
     return tuple(targets)

@@ -161,7 +161,11 @@ def extract_features(params: Params, x: jax.Array,
         neural_nets.py:17-25). conv4_2 is pre-ReLU either way.
 
     Returns:
-      Vgg19Features of float32 NHWC maps.
+      Vgg19Features of NHWC maps in compute_dtype. Keeping bf16 taps bf16
+      (instead of upcasting at the tap boundary) halves the HBM traffic of
+      the tap layout copies that dominate the large-image step (PARITY.md
+      "Single-chip performance analysis"); the loss code accumulates in
+      f32 (gram via preferred_element_type, MSEs upcast before reducing).
     """
     cdt = jnp.dtype(compute_dtype)
     taps: Dict[str, jax.Array] = {}
@@ -182,10 +186,10 @@ def extract_features(params: Params, x: jax.Array,
         p = params[name]
         h = _conv2d_same(h, p["w"], p["b"], cdt, precision)
         if name in pre_wanted:
-            taps[pre_wanted[name]] = h.astype(jnp.float32)
+            taps[pre_wanted[name]] = h
         h = jax.nn.relu(h)
         if name in post_wanted:
-            taps[post_wanted[name]] = h.astype(jnp.float32)
+            taps[post_wanted[name]] = h
         if name == "conv5_1":
             break  # nothing past relu5_1 is ever used
 

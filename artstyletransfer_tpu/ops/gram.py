@@ -3,12 +3,18 @@
 Reference parity: gram of an NCHW feature map as features.view(b,ch,h*w) @
 features^T, normalized by ch*h*w (reference math_utils.py:26-34).
 
-TPU-native: feature maps here are NHWC, so the Gram is a single
-(hw, c)^T @ (hw, c) contraction per batch element — one large MXU matmul with
-the channel dim on the lane axis; no transpose materialization. A fused
-Pallas kernel (reshape+matmul+normalize with HBM->VMEM pipelining) lives in
-ops/pallas_kernels.py and is used when enabled; this XLA version is the
-reference implementation and fallback (XLA already fuses the normalize).
+TPU-native: feature maps here are NHWC, so the Gram is a (hw, c)^T @ (hw, c)
+contraction per batch element with the channel dim on the MXU lane axis.
+
+Large-n lowering: when the contracting dimension hw crosses ~2^17, XLA's TPU
+backend stops emitting a single MXU matmul and instead loop-ifies the dot
+into an HLO while loop (64-iteration dynamic-update-slice assembly of a
+c-major copy plus slice+reduce steps) — measured at +31 ms/step for the
+relu1_1 tap of a 1024px image, ~6x the cost of the matmul itself
+(PARITY.md "Single-chip performance analysis"). Splitting the contraction
+into K row chunks keeps every dot below the loop-ification threshold: the
+Gram becomes a (b, K, hw/K, c) batched matmul producing K partial Grams
+summed in f32. Numerically this only reorders the f32 accumulation.
 """
 
 from __future__ import annotations
@@ -16,13 +22,36 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Contraction sizes >= this get the chunked lowering (empirically where
+# XLA's loop-ification kicks in well below this, but chunking only starts
+# paying for itself around here).
+_CHUNK_THRESHOLD = 1 << 17
+_MAX_CHUNKS = 64
+
+
+def _best_chunks(n: int, kmax: int = _MAX_CHUNKS) -> int:
+    """Largest divisor of n up to kmax (1 if n is prime)."""
+    best = 1
+    for k in range(2, kmax + 1):
+        if n % k == 0:
+            best = k
+    return best
+
 
 def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
     """Batched Gram matrix of an NHWC feature map -> (b, c, c) float32."""
     b, h, w, c = x.shape
-    feats = x.reshape(b, h * w, c)
-    gram = jnp.einsum("bnc,bnd->bcd", feats, feats,
-                      preferred_element_type=jnp.float32)
+    n = h * w
+    k = _best_chunks(n) if n >= _CHUNK_THRESHOLD else 1
+    if k > 1:
+        feats = x.reshape(b, k, n // k, c)
+        gram = jnp.einsum("bknc,bknd->bkcd", feats, feats,
+                          preferred_element_type=jnp.float32)
+        gram = jnp.sum(gram, axis=1)
+    else:
+        feats = x.reshape(b, n, c)
+        gram = jnp.einsum("bnc,bnd->bcd", feats, feats,
+                          preferred_element_type=jnp.float32)
     if should_normalize:
         gram = gram / jnp.asarray(c * h * w, dtype=gram.dtype)
     return gram

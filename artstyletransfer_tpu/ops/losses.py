@@ -28,8 +28,11 @@ class LevelLoss(NamedTuple):
 
 
 def content_loss(target_content: jax.Array, current_content: jax.Array) -> jax.Array:
-    """MSE between content-tap feature maps."""
-    return jnp.mean(jnp.square(target_content - current_content))
+    """MSE between content-tap feature maps (f32 accumulation: the taps may
+    be bfloat16 in compute_dtype=bfloat16 mode; the casts fuse into the
+    reduction, no extra materialization)."""
+    return jnp.mean(jnp.square(target_content.astype(jnp.float32)
+                               - current_content.astype(jnp.float32)))
 
 
 def regularization(y: jax.Array) -> jax.Array:

@@ -30,9 +30,15 @@ BENCH_CONFIGS = {
     "1level256": dict(levels_num=1, base_diameter=256),
     "2level512": dict(levels_num=2, base_diameter=256),
     "3level1024": dict(levels_num=3, base_diameter=256),
+    "3level1024bf16": dict(levels_num=3, base_diameter=256,
+                           compute_dtype="bfloat16"),
     "4level2k": dict(levels_num=4, base_diameter=256),
     "lbfgs2level512": dict(levels_num=2, base_diameter=256,
                            optimizer="lbfgs"),
+    # exact reference L-BFGS semantics: zero line-search iterations
+    # (torch max_iter=1 + default max_eval -> max_ls=0)
+    "lbfgs2level512ref": dict(levels_num=2, base_diameter=256,
+                              optimizer="lbfgs", lbfgs_max_ls_steps=0),
 }
 
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -142,7 +148,9 @@ def main():
     from artstyletransfer_tpu.config import Config
 
     name = os.environ.get("ASTT_BENCH_CONFIG", "3level1024")
-    n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "100"))
+    # 300 timed steps = 6 pipelined 50-step chunks: the remote tunnel's
+    # ~0.7s/chunk dispatch RPC then costs <3% instead of ~20% at 100 steps
+    n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "300"))
     overrides = dict(BENCH_CONFIGS[name])
     overrides.setdefault("optimizer", "adam")
     cfg = Config(stream_every=50, init_method="content+noise", **overrides)

@@ -81,3 +81,22 @@ def test_compilation_cache_idempotent(tmp_path):
     cache.enable_compilation_cache(str(tmp_path / "c1"))
     assert cache._enabled
     cache.enable_compilation_cache(str(tmp_path / "c2"))  # no-op, no raise
+
+
+def test_bfloat16_compute_runs_and_tracks_f32(images, vgg_params):
+    """compute_dtype=bfloat16 keeps taps in bf16 (halved layout traffic on
+    TPU) while accumulating losses in f32; the result must stay close to
+    the f32 trajectory over a few steps."""
+    content, style = images
+    base = Config(levels_num=2, iters_num=3, base_diameter=16,
+                  optimizer="adam", stream_every=3)
+    f32 = TransferJob(content, style, base, params=vgg_params)
+    _, img32, loss32 = list(f32.run())[-1]
+    bf16 = TransferJob(content, style,
+                       dataclasses.replace(base, compute_dtype="bfloat16"),
+                       params=vgg_params)
+    _, img16, loss16 = list(bf16.run())[-1]
+    assert np.isfinite(loss16)
+    np.testing.assert_allclose(loss16, loss32, rtol=0.05)
+    mse = float(np.mean((img16 - img32) ** 2))
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 25.0

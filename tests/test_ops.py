@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 import torch
 
@@ -65,3 +66,26 @@ def test_numpy_and_jax_resize_agree(rng):
     a = bicubic_resize_np(img, 42, 68)
     b = np.asarray(bicubic_resize(jnp.asarray(img), 42, 68))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_gram_chunked_lowering_matches_plain(rng):
+    """Large-n grams use the chunked (K partial sums) lowering; it must be
+    numerically equivalent to the single-contraction form."""
+    from artstyletransfer_tpu.ops import gram as gram_mod
+
+    x = rng.standard_normal((1, 512, 512, 8)).astype(np.float32)  # n = 2^18
+    assert 512 * 512 >= gram_mod._CHUNK_THRESHOLD
+    got = np.asarray(gram_mod.gram_matrix(jnp.asarray(x)))
+    f = x.reshape(1, -1, 8)
+    ref = np.einsum("bnc,bnd->bcd", f, f) / (8 * 512 * 512)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-7)
+
+    # gradient path too
+    def loss(xx):
+        return jnp.sum(gram_mod.gram_matrix(xx))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    # d/dx sum(G) with G = F^T F / (c n): each row contributes 2*rowsum(F)
+    rowsum = f.sum(axis=2, keepdims=True)
+    ref_g = np.broadcast_to(2 * rowsum / (8 * 512 * 512), f.shape).reshape(x.shape)
+    np.testing.assert_allclose(g, ref_g, rtol=1e-4, atol=1e-7)
