@@ -190,6 +190,17 @@ def _build_runners(cfg: Config, level_shapes):
             return x, new_state, f
 
     elif cfg.optimizer == "lbfgs":
+        # torch-default history_size=100 needs 2 * history * n floats; warn
+        # when that approaches the chip's HBM (e.g. 4-level/2K jobs) instead
+        # of letting the allocator fail cryptically mid-run
+        n_pixels = int(np.prod(level_shapes[0]))
+        hist_gb = 2 * cfg.lbfgs_history * n_pixels * 4 / 1e9
+        if hist_gb > 8.0:
+            import sys
+
+            print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB "
+                  f"(history={cfg.lbfgs_history}, n={n_pixels}); consider "
+                  f"--lbfgs-history 10 for this resolution", file=sys.stderr)
 
         def init_fn(params, targets, x):
             lg = partial(loss_grad, params, targets)
