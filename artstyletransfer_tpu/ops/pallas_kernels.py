@@ -244,3 +244,128 @@ def _dy_part(y):
 
 
 _tv_impl.defvjp(_tv_vjp_fwd, _tv_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused 3x3 conv + bias + ReLU (the SURVEY §2.2 "north star" block)
+# ---------------------------------------------------------------------------
+
+_CONV_TILE_H = 4
+
+
+def conv_relu_supported(shape, cout: int) -> bool:
+    """(1, H, W, C) NHWC with lane-aligned channels and H tileable."""
+    b, h, w, c = shape
+    return (b == 1 and c % 64 == 0 and cout % 64 == 0
+            and h % _CONV_TILE_H == 0 and w % 8 == 0
+            and (_CONV_TILE_H + 2) * (w + 2) * max(c, 128) * 4
+            <= 4 * 1024 * 1024)
+
+
+def _conv_relu_kernel(x_hbm, w_ref, b_ref, o_ref, scratch, sem, *,
+                      tile_h: int, width: int, cin: int, cout: int):
+    """One H-tile of SAME-padded 3x3 conv + bias + ReLU.
+
+    The input lives in HBM pre-padded to (H+2, W+2, C); each grid step DMAs
+    its (tile_h+2)-row halo slab into VMEM (double-buffered by the grid
+    pipeline), then accumulates the nine shifted (tile_h*W, Cin) @ (Cin,
+    Cout) MXU matmuls.
+    """
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile_h, tile_h + 2)], scratch, sem)
+    dma.start()
+    dma.wait()
+    # accumulate tap-by-tap into the output block so each shifted slice's
+    # relayout copy can be retired before the next (keeps VMEM stack small)
+    o_ref[:] = jnp.broadcast_to(b_ref[:], (tile_h, width, cout))
+    for dy in range(3):
+        for dx in range(3):
+            sub = scratch[dy:dy + tile_h, dx:dx + width, :]
+            part = lax.dot(sub.reshape(tile_h * width, cin), w_ref[dy, dx],
+                           preferred_element_type=jnp.float32)
+            o_ref[:] += part.reshape(tile_h, width, cout)
+    o_ref[:] = jnp.maximum(o_ref[:], 0.0)
+
+
+def _conv_relu_fwd_impl(x: jax.Array, w: jax.Array, b: jax.Array,
+                        interpret: bool) -> jax.Array:
+    _, h, width, cin = x.shape
+    cout = w.shape[-1]
+    # Mosaic DMAs slice HBM memrefs at lane (128) granularity: pad the
+    # channel dims to 128 multiples (zero channels are mathematically inert)
+    cin_p = max(128, cin) if cin % 128 else cin
+    cout_p = max(128, cout) if cout % 128 else cout
+    xp = jnp.pad(x[0], ((1, 1), (1, 1), (0, cin_p - cin)))  # SAME halo
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+    bp = jnp.pad(b, (0, cout_p - cout))
+    out = pl.pallas_call(
+        partial(_conv_relu_kernel, tile_h=_CONV_TILE_H, width=width,
+                cin=cin_p, cout=cout_p),
+        grid=(h // _CONV_TILE_H,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM, manual DMA
+            pl.BlockSpec((3, 3, cin_p, cout_p), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout_p,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_CONV_TILE_H, width, cout_p),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, width, cout_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_CONV_TILE_H + 2, width + 2, cin_p), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * width * 9 * cin_p * cout_p,
+            bytes_accessed=(h * width * (cin_p + cout_p)
+                            + 9 * cin_p * cout_p) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, wp, bp)
+    return out[None, :, :, :cout]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_relu_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Fused SAME 3x3 conv + bias + ReLU, NHWC/HWIO, f32.
+
+    The "north-star" Pallas block of SURVEY §2.2 (replacing the reference's
+    cuDNN conv+ReLU, reference neural_nets.py:53-65). Status after honest
+    on-device evaluation (v5e, 2026-08 libtpu; PARITY.md has the numbers):
+    the 3x3 halo makes every shifted slice sublane-unaligned, so Mosaic
+    inserts per-tap relayout copies that blow the 16 MB VMEM stack budget
+    at VGG's level-0 widths (17.9-33.4 MB scoped allocations), and the
+    accumulate-in-place variant crashes the TPU worker. XLA's
+    space-to-depth convolution fusions (13.3 ms for ALL sixteen level-0
+    convs, ~48% MFU) remain the production path; this kernel is kept as an
+    interpreter-validated experimental block for future Mosaic versions.
+    EXPERIMENTAL: do not route production traffic through it on TPU.
+    """
+    return _conv_relu_fwd_impl(x, w, b, interpret)
+
+
+def _conv_relu_xla(x, w, b):
+    """XLA twin of the fused block (used for the backward and in tests)."""
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    return jnp.maximum(y, 0.0)
+
+
+def _conv_relu_vjp_fwd(x, w, b, interpret):
+    y = _conv_relu_fwd_impl(x, w, b, interpret)
+    return y, (x, w, b)
+
+
+def _conv_relu_vjp_bwd(interpret, res, g):
+    # backward through the mathematically identical XLA graph (rematerialized
+    # forward); the Pallas value of this block is the fused forward pass
+    x, w, b = res
+    _, vjp = jax.vjp(_conv_relu_xla, x, w, b)
+    return vjp(g)
+
+
+conv3x3_relu_pallas.defvjp(_conv_relu_vjp_fwd, _conv_relu_vjp_bwd)

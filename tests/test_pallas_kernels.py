@@ -96,3 +96,47 @@ def test_tv_pallas_grad_matches_xla(rng):
     g_xla = jax.grad(lambda y: total_variation(y))(y)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_conv_relu_supported_shapes():
+    from artstyletransfer_tpu.ops.pallas_kernels import conv_relu_supported
+
+    assert conv_relu_supported((1, 64, 96, 64), 64)
+    assert not conv_relu_supported((2, 64, 96, 64), 64)   # batch > 1
+    assert not conv_relu_supported((1, 63, 96, 64), 64)   # H not tileable
+    assert not conv_relu_supported((1, 64, 96, 48), 64)   # C not lane-aligned
+
+
+def test_conv_relu_pallas_matches_xla(rng):
+    from artstyletransfer_tpu.ops.pallas_kernels import (_conv_relu_xla,
+                                                         conv3x3_relu_pallas)
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 24, 64)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 64, 64)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((64,)).astype(np.float32))
+    ours = np.asarray(conv3x3_relu_pallas(x, w, b, True))
+    ref = np.asarray(_conv_relu_xla(x, w, b))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_relu_pallas_grad_matches_xla(rng):
+    from artstyletransfer_tpu.ops.pallas_kernels import (_conv_relu_xla,
+                                                         conv3x3_relu_pallas)
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 64)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 64, 64)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((64,)).astype(np.float32))
+
+    def lp(x, w, b):
+        return jnp.sum(conv3x3_relu_pallas(x, w, b, True) ** 2)
+
+    def lx(x, w, b):
+        return jnp.sum(_conv_relu_xla(x, w, b) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
