@@ -329,7 +329,7 @@ def extra_ablations(argv):
         from artstyletransfer_tpu.models.vgg19 import _maxpool2
 
         def loss_rs(ys):
-            return sum(jnp.sum(_maxpool2(y)) for y in ys)
+            return sum(jnp.sum(_maxpool2(y, "slices")) for y in ys)
 
         gr = jax.grad(loss_rs)
         ys0 = tuple(jnp.asarray(rng.random((1,) + s).astype(np.float32))
