@@ -1,0 +1,60 @@
+"""Precompilation warmup for serving.
+
+XLA compiles one executable per (pyramid shape, config); a cold compile of
+the full optimization step takes minutes on TPU. Serving frontends that
+canonicalize incoming images to the standard aspect buckets
+(parallel/batch.py) therefore only ever need len(DEFAULT_ASPECT_BUCKETS)
+graphs — this module compiles them ahead of time so the first user request
+is fast. (The reference framework is eager torch and has no analogue.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import Config
+from ..parallel.batch import DEFAULT_ASPECT_BUCKETS
+
+
+def bucket_content_shape(aspect: float, cfg: Config) -> tuple:
+    """(h, w) of the canonical content for an aspect bucket (w/h ratio):
+    shortest side = base_diameter * 2^(levels-1), matching
+    parallel.batch.canonicalize_content."""
+    side = cfg.base_diameter * 2 ** (cfg.levels_num - 1)
+    if aspect >= 1.0:
+        return side, int(round(side * aspect))
+    return int(round(side / aspect)), side
+
+
+def warmup_aspect_buckets(cfg: Config, params=None,
+                          aspects: Sequence[float] = DEFAULT_ASPECT_BUCKETS,
+                          verbose: bool = True,
+                          steps: Optional[int] = None) -> int:
+    """Compile and run one chunk of the engine for every aspect bucket.
+
+    Returns the number of buckets warmed. Uses dummy images; the compiled
+    executables are keyed only by shape + config, so subsequent real jobs
+    (canonicalized to these buckets) reuse them.
+    """
+    from .transfer import TransferJob
+
+    n = 0
+    for aspect in aspects:
+        h, w = bucket_content_shape(aspect, cfg)
+        t0 = time.time()
+        content = np.full((h, w, 3), 0.5, np.float32)
+        style = np.full((cfg.base_diameter, cfg.base_diameter, 3), 0.5,
+                        np.float32)
+        job = TransferJob(content, style, cfg, params=params)
+        k = steps if steps is not None else cfg.stream_every
+        for _ in job.run(iters_num=k, stream_every=k, yield_images=False):
+            pass
+        n += 1
+        if verbose:
+            print(f"warmup: aspect {aspect:.3f} ({h}x{w}) ready in "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+    return n

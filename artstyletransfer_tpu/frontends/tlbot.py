@@ -119,9 +119,16 @@ class ChatProgress:
 class StyleTransferBot:
     """Handler logic, transport-agnostic (testable with a fake client)."""
 
-    def __init__(self, client, config: Optional[Config] = None, engine=None):
+    def __init__(self, client, config: Optional[Config] = None, engine=None,
+                 canonicalize: bool = False):
         self.client = client
         self.config = config or Config()
+        # canonicalize=True crops/resizes incoming photos to the canonical
+        # aspect buckets so at most len(DEFAULT_ASPECT_BUCKETS) graphs are
+        # ever compiled (a cold XLA compile takes minutes; the reference's
+        # eager torch had no such cost). Off by default for exact
+        # reference aspect handling.
+        self.canonicalize = canonicalize
         self.tasks_table: Dict[str, ChatProgress] = {}
         self.table_lock = asyncio.Lock()
         self.executor = Executor(self.config,
@@ -218,6 +225,12 @@ class StyleTransferBot:
                 images.append(decode_image(data))
 
             content_img, style_img = images
+            if self.canonicalize:
+                from ..parallel.batch import (canonicalize_content,
+                                              canonicalize_style)
+
+                content_img = canonicalize_content(content_img, self.config)
+                style_img = canonicalize_style(style_img, self.config)
             task_id = str(uuid.uuid4())
             async with self.table_lock:
                 assert messages[0]["chat"]["id"] == messages[1]["chat"]["id"], \
@@ -270,13 +283,27 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="astt-tlbot")
     parser.add_argument("--token", default=os.environ.get(
         "ASTT_TELEGRAM_TOKEN"))
+    parser.add_argument("--canonicalize", action="store_true",
+                        help="crop/resize incoming photos to the canonical "
+                             "aspect buckets so at most a handful of XLA "
+                             "graphs are ever compiled")
+    parser.add_argument("--warmup", action="store_true",
+                        help="precompile all aspect buckets before polling "
+                             "(implies --canonicalize; first users then "
+                             "skip the minutes-long cold compile)")
     args = parser.parse_args(argv)
     if not args.token:
         print("Set ASTT_TELEGRAM_TOKEN or pass --token "
               "(get one via https://t.me/BotFather)", file=sys.stderr)
         return 1
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
-    bot = StyleTransferBot(TelegramClient(args.token))
+    cfg = Config()
+    if args.warmup:
+        from ..engine.warmup import warmup_aspect_buckets
+
+        warmup_aspect_buckets(cfg)
+    bot = StyleTransferBot(TelegramClient(args.token), cfg,
+                           canonicalize=args.canonicalize or args.warmup)
     asyncio.run(bot.run_polling())
     return 0
 

@@ -265,6 +265,41 @@ def crop_to_aspect_bucket(img: np.ndarray,
     return np.ascontiguousarray(img)
 
 
+def canonicalize_content(content: np.ndarray, cfg: Config) -> np.ndarray:
+    """Center-crop to the nearest canonical aspect bucket and resize to that
+    bucket's exact top-pyramid-level shape.
+
+    Lossless for the pipeline (resolution above the top pyramid level is
+    never used) and collapses arbitrary input shapes into at most
+    len(DEFAULT_ASPECT_BUCKETS) compiled graph shapes — the difference
+    between a 1-6 min XLA compile per request and a warm cache hit when
+    serving (Telegram bot, lab queue)."""
+    from ..ops.resize import bicubic_resize_np
+
+    scale = 2 ** (cfg.levels_num - 1)
+    c = crop_to_aspect_bucket(content)
+    h, w = c.shape[:2]
+    if h >= w:
+        tw = cfg.base_diameter * scale
+        th = int(round(tw * h / w))
+    else:
+        th = cfg.base_diameter * scale
+        tw = int(round(th * w / h))
+    return bicubic_resize_np(c, th, tw)
+
+
+def canonicalize_style(style: np.ndarray, cfg: Config) -> np.ndarray:
+    """Resize a style image to a square of the level-0 base diameter.
+
+    Style images only contribute Gram statistics, so the distortion is
+    mild; jobs sharing a content bucket then share one compiled graph
+    regardless of style aspect ratio."""
+    from ..ops.resize import bicubic_resize_np
+
+    side = cfg.base_diameter
+    return bicubic_resize_np(style, side, side)
+
+
 def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   cfg: Config, params=None, mesh: Optional[Mesh] = None,
                   shard_space: bool = False, progress=None,
@@ -295,28 +330,11 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     the top level is never used). An arbitrary queue then compiles at most
     len(DEFAULT_ASPECT_BUCKETS) batch shapes.
     """
-    from ..ops.resize import bicubic_resize_np
-
     if canonicalize_contents:
-        scale = 2 ** (cfg.levels_num - 1)
-
-        def canon(c):
-            c = crop_to_aspect_bucket(c)
-            h, w = c.shape[:2]
-            if h >= w:
-                tw = cfg.base_diameter * scale
-                th = int(round(tw * h / w))
-            else:
-                th = cfg.base_diameter * scale
-                tw = int(round(th * w / h))
-            return bicubic_resize_np(c, th, tw)
-
-        jobs = [(tid, canon(c), s) for tid, c, s in jobs]
+        jobs = [(tid, canonicalize_content(c, cfg), s) for tid, c, s in jobs]
 
     if canonicalize_styles:
-        side = cfg.base_diameter
-        jobs = [(tid, c, bicubic_resize_np(s, side, side))
-                for tid, c, s in jobs]
+        jobs = [(tid, c, canonicalize_style(s, cfg)) for tid, c, s in jobs]
 
     params = params if params is not None else load_vgg19_params(seed=cfg.seed)
     results: Dict[str, np.ndarray] = {}

@@ -334,3 +334,41 @@ def test_lab_showcase_routes(tmp_path):
             await client.close()
 
     asyncio.run(go())
+
+
+def test_bot_canonicalize_buckets_album_shapes():
+    """--canonicalize collapses arbitrary photo shapes onto the canonical
+    bucket shape before the job is enqueued (bounded XLA compile count)."""
+    from artstyletransfer_tpu.engine.warmup import bucket_content_shape
+
+    client = FakeTelegramClient()
+    client.files["f1"] = encode_jpeg(
+        np.random.default_rng(2).random((37, 55, 3)).astype(np.float32))
+    client.files["f2"] = encode_jpeg(
+        np.random.default_rng(3).random((41, 29, 3)).astype(np.float32))
+    seen = {}
+
+    async def shape_probe_engine(pair, *args, **kwargs):
+        seen["content"] = pair.content[1].shape
+        seen["style"] = pair.style[1].shape
+        yield 100.0, np.full((8, 8, 3), 0.5, np.float32)
+
+    from artstyletransfer_tpu.config import Config as Cfg
+    cfg = Cfg(levels_num=1, base_diameter=16, iters_num=2)
+    bot = StyleTransferBot(client, cfg, engine=shape_probe_engine,
+                           canonicalize=True)
+
+    async def go():
+        await bot.album_handler([
+            _photo_message(5, "f1", "g7"),
+            _photo_message(5, "f2", "g7"),
+        ])
+        await bot.executor.run()
+        await asyncio.sleep(0.05)
+
+    asyncio.run(go())
+    from artstyletransfer_tpu.parallel.batch import DEFAULT_ASPECT_BUCKETS
+    buckets = {bucket_content_shape(a, cfg) + (3,)
+               for a in DEFAULT_ASPECT_BUCKETS}
+    assert seen["content"] in buckets
+    assert seen["style"] == (16, 16, 3)

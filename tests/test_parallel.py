@@ -221,3 +221,35 @@ def test_run_job_queue_poisoned_bucket_isolated(vgg_params, rng):
     assert set(results) == {"ok"}
     assert set(failures) == {"poison"}
     assert isinstance(failures["poison"], Exception)
+
+
+def test_canonicalize_helpers_collapse_shapes(rng):
+    """canonicalize_content/style map arbitrary inputs onto the canonical
+    bucket shapes (the serving anti-recompile path)."""
+    from artstyletransfer_tpu.parallel.batch import (DEFAULT_ASPECT_BUCKETS,
+                                                     canonicalize_content,
+                                                     canonicalize_style)
+    from artstyletransfer_tpu.engine.warmup import bucket_content_shape
+
+    cfg = Config(levels_num=2, base_diameter=16)
+    shapes = set()
+    for hw in ((33, 32), (50, 48), (64, 66), (100, 177), (40, 61)):
+        c = rng.random(hw + (3,)).astype(np.float32)
+        shapes.add(canonicalize_content(c, cfg).shape)
+    buckets = {bucket_content_shape(a, cfg) + (3,)
+               for a in DEFAULT_ASPECT_BUCKETS}
+    assert shapes <= buckets
+    s = canonicalize_style(rng.random((37, 90, 3)).astype(np.float32), cfg)
+    assert s.shape == (16, 16, 3)
+
+
+def test_warmup_compiles_buckets(vgg_params):
+    """warmup_aspect_buckets runs one chunk per bucket without error and
+    the shapes it warms match what canonicalization produces."""
+    from artstyletransfer_tpu.engine.warmup import warmup_aspect_buckets
+
+    cfg = Config(levels_num=1, base_diameter=16, optimizer="adam",
+                 iters_num=2, stream_every=2)
+    n = warmup_aspect_buckets(cfg, params=vgg_params, aspects=(1.0, 1.5),
+                              verbose=False)
+    assert n == 2
