@@ -39,6 +39,10 @@ BENCH_CONFIGS = {
     # (torch max_iter=1 + default max_eval -> max_ls=0)
     "lbfgs2level512ref": dict(levels_num=2, base_diameter=256,
                               optimizer="lbfgs", lbfgs_max_ls_steps=0),
+    # batched multi-job throughput (vmapped batch of 8 identical-shape
+    # jobs on one chip); reported in job-steps/sec
+    "batch8x1level256": dict(levels_num=1, base_diameter=256, _batch=8),
+    "batch8x2level512": dict(levels_num=2, base_diameter=256, _batch=8),
 }
 
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -89,6 +93,28 @@ def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     steps = done - chunk
     log(f"bench: {steps} steps in {dt:.2f}s, final loss {float(f):.4e}")
     return steps / dt
+
+
+def measure_ours_batched(content, style, cfg, batch, n_steps=200,
+                         chunk=50) -> float:
+    """Job-steps/sec of a vmapped batch of identical jobs on one chip."""
+    from artstyletransfer_tpu.parallel import BatchedTransferJob
+
+    t0 = time.time()
+    job = BatchedTransferJob([content] * batch, [style] * batch, cfg)
+    log(f"bench: batched job setup {time.time() - t0:.1f}s "
+        f"(batch={batch}, pyramid {job.level_shapes})")
+    it = job.run(iters_num=n_steps + chunk, stream_every=chunk,
+                 yield_images=False)
+    _done, _imgs, f0 = next(it)
+    np.asarray(f0)  # sync: warmup chunk executed before timing starts
+    t0 = time.time()
+    for done, _imgs, f in it:
+        pass
+    np.asarray(f)
+    dt = time.time() - t0
+    log(f"bench: {n_steps} steps x {batch} jobs in {dt:.2f}s")
+    return batch * n_steps / dt
 
 
 def measure_torch_baseline(content, style, cfg, n_steps=3) -> float:
@@ -152,6 +178,7 @@ def main():
     # ~0.7s/chunk dispatch RPC then costs <3% instead of ~20% at 100 steps
     n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "300"))
     overrides = dict(BENCH_CONFIGS[name])
+    batch = overrides.pop("_batch", 0)
     overrides.setdefault("optimizer", "adam")
     cfg = Config(stream_every=50, init_method="content+noise", **overrides)
     content, style = load_images()
@@ -161,19 +188,28 @@ def main():
     log(f"bench: platform {jax.devices()[0].platform} "
         f"({jax.devices()[0].device_kind}), config {name}")
 
-    ours = measure_ours(content, style, cfg, n_steps=n_steps)
+    if batch:
+        ours = measure_ours_batched(content, style, cfg, batch,
+                                    n_steps=min(n_steps, 200))
+    else:
+        ours = measure_ours(content, style, cfg, n_steps=n_steps)
     try:
         baseline = measure_torch_baseline(content, style, cfg)
+        if batch:
+            # the reference caps itself at 2 concurrent jobs on the device
+            # (reference config.py:1), so its job throughput is 2x one job
+            baseline = 2 * baseline
         vs = ours / baseline if baseline > 0 else float("nan")
     except Exception as e:  # keep the bench result even if torch fails
         log(f"bench: torch baseline failed: {e}")
         vs = float("nan")
 
+    unit = "job-steps/sec" if batch else "steps/sec"
     print(json.dumps({
-        "metric": f"optimizer steps/sec, {name} pyramid transfer "
+        "metric": f"optimizer {unit}, {name} pyramid transfer "
                   f"({cfg.optimizer}, vgg19, bird+cubism)",
         "value": round(ours, 4),
-        "unit": "steps/sec",
+        "unit": unit,
         "vs_baseline": round(vs, 2) if vs == vs else None,
     }))
 
