@@ -57,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream-every", type=int, default=None,
                    help="steps per progress update (default 10)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
-                   default=None)
+                   default=None,
+                   help="conv compute dtype; default: production precision "
+                        "for the platform (bfloat16 on TPU, float32 "
+                        "elsewhere — see config.production_config)")
     p.add_argument("--conv-precision", choices=["default", "high", "highest"],
                    default=None, help="MXU pass count for float32 convs")
     p.add_argument("--pool-impl", choices=["reduce_window", "slices"],
@@ -142,7 +145,14 @@ def config_from_args(args: argparse.Namespace) -> Config:
         val = getattr(args, arg_name)
         if val is not None:
             overrides[field] = val
-    return dataclasses.replace(cfg, **overrides)
+    cfg = dataclasses.replace(cfg, **overrides)
+    if args.compute_dtype is None:
+        # no explicit dtype: run the platform's production precision
+        # (bfloat16 on TPU; see config.production_config for the study)
+        from ..config import production_config
+
+        cfg = production_config(cfg)
+    return cfg
 
 
 def run_job_checkpointed(args: argparse.Namespace, cfg: Config) -> np.ndarray:

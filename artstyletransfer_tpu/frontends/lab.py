@@ -15,13 +15,14 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import os
 import uuid
 
 from aiohttp import web
 import jinja2
 
-from ..config import PRESETS, STANDARD_GAUSS_NOISE_CONFIG
+from ..config import PRESETS, STANDARD_GAUSS_NOISE_CONFIG, production_config
 from ..engine.transfer import ContentStylePair
 from ..runtime.executor import Executor
 from ..utils.image import encode_jpeg, load_image
@@ -254,8 +255,17 @@ def main(argv=None) -> int:
     parser.add_argument("--batched", action="store_true",
                         help="run the demo queue through the mesh-batched "
                              "TPU executor instead of 2-at-a-time")
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="conv compute dtype; default: production "
+                             "precision for the platform (bfloat16 on TPU)")
     args = parser.parse_args(argv)
-    app = create_app(config=PRESETS[args.preset], data_dir=args.data_dir,
+    cfg = PRESETS[args.preset]
+    if args.compute_dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    else:
+        cfg = production_config(cfg)
+    app = create_app(config=cfg, data_dir=args.data_dir,
                      autostart=not args.no_autostart, batched=args.batched)
     web.run_app(app, host=args.host, port=args.port)
     return 0

