@@ -107,6 +107,16 @@ class Config:
                                         # SPMD space sharding (the batched
                                         # executor switches to it
                                         # automatically when shard_space=True)
+    fused_style_bwd: bool = True        # style-layer loss with the 1x1-conv
+                                        # custom-VJP backward: the tap's
+                                        # gradient  f @ (G - Gt)  is emitted
+                                        # as a conv op that consumes the tap
+                                        # in its native TPU layout instead
+                                        # of round-tripping through the
+                                        # matmul's standard layout. Same
+                                        # math (pinned by tests); level-0
+                                        # grad 79.1 -> 61.3 ms/step at
+                                        # 1024px bf16 on v5e.
     nan_checks: bool = True             # raise on non-finite loss at chunk
                                         # boundaries (TPU analogue of the
                                         # reference's unconditional

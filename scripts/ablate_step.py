@@ -79,8 +79,12 @@ def main(argv):
     only = set(argv) if argv else None
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
+    import os
+
+    dtype = os.environ.get("ASTT_ABLATE_DTYPE", "float32")
     cfg = Config(levels_num=3, base_diameter=256, optimizer="adam",
-                 iters_num=100, stream_every=50)
+                 iters_num=100, stream_every=50, compute_dtype=dtype)
+    log(f"compute_dtype: {dtype}")
     content, style = load_image(CONTENT), load_image(STYLE)
     job = TransferJob(content, style, cfg)
     log(f"pyramid: {job.level_shapes}")
@@ -200,6 +204,141 @@ def main(argv):
             "gram fwd+bwd @level0 c64",
             lambda y: y - 1e-12 * g(y), y0)
 
+    # -- level0 grad with alternative gram formulations -----------------------
+    # The bf16 profile shows the style-gram path adds ~49 ms to a ~30 ms
+    # content-only grad while the gram matmuls are worth ~3 ms: the cost is
+    # XLA layout copies between the conv fusions' space-to-depth tap layouts
+    # and the standard layout the flattening reshape forces on the dot. These
+    # variants express the SAME contraction without flattening h*w, giving
+    # layout assignment the freedom to keep (parts of) the tap layout.
+    def _style_level0_variant(tag, gram_fn):
+        if not want(tag):
+            return
+        from artstyletransfer_tpu.ops.tv import total_variation
+
+        shape = top_shape
+        t_content, t_grams = targets[0]
+
+        def loss_v(x):
+            img = x.reshape(shape)
+            feats = extract_features(params, img, cfg.compute_dtype,
+                                     cfg.conv_precision)
+            c = jnp.mean(jnp.square(
+                feats[CONTENT_INDEX].astype(jnp.float32) - t_content))
+            s = jnp.float32(0.0)
+            for gt, i in zip(t_grams, STYLE_INDICES):
+                s = s + jnp.mean(jnp.square(gt[0] - gram_fn(feats[i])[0]))
+            s = s / len(STYLE_INDICES)
+            t = total_variation(img)
+            return (cfg.content_weight * c + cfg.style_weight * s
+                    + cfg.tv_weight * t)
+
+        g = jax.grad(loss_v)
+        results[tag] = time_loop(f"grad level0 {tag}",
+                                 lambda x: x - 1e-12 * g(x),
+                                 jnp.array(x0, copy=True))
+
+    def _gram4d(x):
+        b, h, w, c = x.shape
+        gram = jnp.einsum("bhwc,bhwd->bcd", x, x,
+                          preferred_element_type=jnp.float32)
+        return gram / jnp.asarray(c * h * w, jnp.float32)
+
+    def _gramh(x, kmax=64):
+        b, h, w, c = x.shape
+        k = 1
+        for kk in range(2, kmax + 1):
+            if h % kk == 0 and (h // kk) * w < (1 << 17):
+                k = kk
+                break
+        xs = x.reshape(b, k, h // k, w, c)
+        gram = jnp.einsum("bkhwc,bkhwd->bkcd", xs, xs,
+                          preferred_element_type=jnp.float32)
+        return jnp.sum(gram, axis=1) / jnp.asarray(c * h * w, jnp.float32)
+
+    def _gramrow(x):
+        b, h, w, c = x.shape
+        gram = jnp.einsum("bhwc,bhwd->bhcd", x, x,
+                          preferred_element_type=jnp.float32)
+        return jnp.sum(gram, axis=1) / jnp.asarray(c * h * w, jnp.float32)
+
+    # -- lane-aligned shapes: same job, content resized so every level W is a
+    # multiple of 128 (1532 -> 1536). If the tap layout copies are padded
+    # sublane/lane shuffles, alignment should collapse their cost.
+    if want("grad3_aligned"):
+        from artstyletransfer_tpu.ops.resize import bicubic_resize_np
+
+        c_al = bicubic_resize_np(content, 1024, 1536)
+        job_al = TransferJob(c_al, style, cfg)
+        loss_al = _make_pyramid_loss(job_al.level_shapes, cfg)
+        t_al, p_al = job_al.targets, job_al.params
+
+        def sl_al(x):
+            total, _ = loss_al(p_al, t_al, x)
+            return total
+
+        g = jax.grad(sl_al)
+        results["grad3_aligned"] = time_loop(
+            "grad 3-level W%128==0 (1024x1536)",
+            lambda x: x - 1e-12 * g(x), jnp.array(job_al._x0, copy=True))
+
+    _style_level0_variant("style0_base", gram_matrix)
+    _style_level0_variant("style0_gram4d", _gram4d)
+    _style_level0_variant("style0_gramh", _gramh)
+    _style_level0_variant("style0_gramrow", _gramrow)
+
+    # -- custom-VJP style loss: backward as a 1x1 conv -------------------------
+    # d/df mean((G - Gt)^2) = (4 / (c^2 * chw)) * f @ (G - Gt): a 1x1 conv of
+    # the tap with a (c,c) kernel. A conv consumer can eat the tap in its
+    # native space-to-depth layout and emit the cotangent straight into the
+    # transpose-conv backward cluster — no standard-layout round trip.
+    if want("style0_convbwd"):
+        @jax.custom_vjp
+        def style_layer_mse(f, gt):
+            g = _gram4d(f)[0]
+            return jnp.mean(jnp.square(g - gt))
+
+        def _fwd(f, gt):
+            g = _gram4d(f)[0]
+            return jnp.mean(jnp.square(g - gt)), (f, g, gt)
+
+        def _bwd(res, s):
+            f, g, gt = res
+            _, h, w, c = f.shape
+            d = g - gt
+            scale = 2.0 / (c * c * c * h * w)
+            ker = ((d + d.T) * (scale * s)).astype(f.dtype)[None, None]
+            df = lax.conv_general_dilated(
+                f, ker, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return df, None
+
+        style_layer_mse.defvjp(_fwd, _bwd)
+
+        from artstyletransfer_tpu.ops.tv import total_variation
+
+        shape = top_shape
+        t_content, t_grams = targets[0]
+
+        def loss_cb(x):
+            img = x.reshape(shape)
+            feats = extract_features(params, img, cfg.compute_dtype,
+                                     cfg.conv_precision)
+            c = jnp.mean(jnp.square(
+                feats[CONTENT_INDEX].astype(jnp.float32) - t_content))
+            s = jnp.float32(0.0)
+            for gt, i in zip(t_grams, STYLE_INDICES):
+                s = s + style_layer_mse(feats[i], gt[0])
+            s = s / len(STYLE_INDICES)
+            t = total_variation(img)
+            return (cfg.content_weight * c + cfg.style_weight * s
+                    + cfg.tv_weight * t)
+
+        g = jax.grad(loss_cb)
+        results["style0_convbwd"] = time_loop(
+            "grad level0 conv1x1-backward style",
+            lambda x: x - 1e-12 * g(x), jnp.array(x0, copy=True))
+
     # -- full grad with Pallas gram/TV kernels --------------------------------
     if want("grad3_pallas"):
         cfgp = Config(levels_num=3, base_diameter=256, optimizer="adam",
@@ -272,6 +411,17 @@ def extra_ablations(argv):
         gr = jax.grad(loss16)
         results["gram_mse_bf16"] = time_loop(
             "gram+MSE fwd+bwd bf16-in", lambda y: y - 1e-12 * gr(y),
+            feats.reshape(-1))
+
+    if want("gram_mse_bf16_chunked"):
+        def loss16c(y):
+            z = y.reshape(1, h, w, c).astype(jnp.bfloat16)
+            g = gram_matrix(z)  # chunked lowering on bf16 input
+            return jnp.mean(jnp.square(g[0] - target))
+
+        gr = jax.grad(loss16c)
+        results["gram_mse_bf16_chunked"] = time_loop(
+            "gram(chunked)+MSE fwd+bwd bf16-in", lambda y: y - 1e-12 * gr(y),
             feats.reshape(-1))
 
     if want("gram_mse_2d"):

@@ -89,3 +89,77 @@ def test_gram_chunked_lowering_matches_plain(rng):
     rowsum = f.sum(axis=2, keepdims=True)
     ref_g = np.broadcast_to(2 * rowsum / (8 * 512 * 512), f.shape).reshape(x.shape)
     np.testing.assert_allclose(g, ref_g, rtol=1e-4, atol=1e-7)
+
+
+def test_gram_bf16_4d_lowering_matches_flat(rng):
+    """The bf16 4-D dot lowering must equal the flattened einsum exactly
+    (same contraction, f32 accumulation, only the index bookkeeping
+    differs)."""
+    x = rng.standard_normal((2, 9, 11, 8)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    ours = np.asarray(gram_matrix(xb))
+    flat = np.asarray(
+        jnp.einsum("bnc,bnd->bcd", xb.reshape(2, 99, 8), xb.reshape(2, 99, 8),
+                   preferred_element_type=jnp.float32)) / (8 * 9 * 11)
+    np.testing.assert_allclose(ours, flat, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_style_bwd_matches_autodiff(rng):
+    """level_loss(fused_style_bwd=True) must produce the same value AND the
+    same image gradient as the plain autodiff path (the 1x1-conv backward
+    is the closed-form gradient, not an approximation)."""
+    from artstyletransfer_tpu.ops.losses import level_loss
+
+    feats_shapes = [(1, 8, 10, 4), (1, 4, 5, 6), (1, 2, 2, 8),
+                    (1, 2, 2, 8), (1, 6, 7, 5), (1, 2, 2, 8)]
+    img = rng.standard_normal((1, 8, 10, 3)).astype(np.float32)
+
+    mix = [jnp.asarray(rng.standard_normal(
+               (img.size, int(np.prod(shp)))).astype(np.float32)
+               / int(np.prod(shp)))
+           for shp in feats_shapes]
+
+    def make_feats(x):
+        # differentiable synthetic "taps" so gradients flow to x
+        return [(x.reshape(-1) @ w).reshape(shp)
+                for w, shp in zip(mix, feats_shapes)]
+
+    t_content = rng.standard_normal(feats_shapes[4]).astype(np.float32)
+    t_grams = tuple(
+        jnp.asarray(rng.standard_normal(
+            (1, feats_shapes[i][-1], feats_shapes[i][-1])).astype(np.float32))
+        for i in (0, 1, 2, 3, 5))
+
+    def total(x, fused):
+        ll = level_loss(make_feats(x), t_content, t_grams,
+                        x.reshape(1, 8, 10, 3), 1e3, 4e5, 1e2,
+                        content_index=4, style_indices=(0, 1, 2, 3, 5),
+                        fused_style_bwd=fused)
+        return ll.total
+
+    x = jnp.asarray(img)
+    v_fused, g_fused = jax.value_and_grad(lambda x: total(x, True))(x)
+    v_plain, g_plain = jax.value_and_grad(lambda x: total(x, False))(x)
+    np.testing.assert_allclose(float(v_fused), float(v_plain), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_plain),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_style_bwd_batch_gt1_falls_back(rng):
+    """Batched (b>1) taps must take the autodiff path (the fused backward
+    assumes the reference's batch-element-0 semantics with b == 1)."""
+    from artstyletransfer_tpu.ops.losses import level_loss
+
+    feats = [jnp.asarray(rng.standard_normal((2, 4, 5, 3)).astype(np.float32))
+             for _ in range(6)]
+    t_content = feats[4] * 0.5
+    t_grams = tuple(jnp.asarray(
+        rng.standard_normal((2, 3, 3)).astype(np.float32))
+        for _ in range(5))
+    a = level_loss(feats, t_content, t_grams, feats[0], 1.0, 1.0, 1.0,
+                   content_index=4, style_indices=(0, 1, 2, 3, 5),
+                   fused_style_bwd=True)
+    b = level_loss(feats, t_content, t_grams, feats[0], 1.0, 1.0, 1.0,
+                   content_index=4, style_indices=(0, 1, 2, 3, 5),
+                   fused_style_bwd=False)
+    np.testing.assert_allclose(float(a.total), float(b.total), rtol=1e-6)
