@@ -189,6 +189,7 @@ def main():
     # 300 timed steps = 6 pipelined 50-step chunks: the remote tunnel's
     # ~0.7s/chunk dispatch RPC then costs <3% instead of ~20% at 100 steps
     n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "300"))
+    chunk = int(os.environ.get("ASTT_BENCH_CHUNK", "50"))
     overrides = dict(BENCH_CONFIGS[name])
     batch = overrides.pop("_batch", 0)
     overrides.setdefault("optimizer", "adam")
@@ -204,9 +205,10 @@ def main():
         # batched device steps are only a few ms: use longer runs and
         # bigger chunks so the ~0.7s/chunk tunnel RPC stays in the noise
         ours = measure_ours_batched(content, style, cfg, batch,
-                                    n_steps=max(n_steps, 500), chunk=100)
+                                    n_steps=max(n_steps, 500),
+                                    chunk=max(chunk, 100))
     else:
-        ours = measure_ours(content, style, cfg, n_steps=n_steps)
+        ours = measure_ours(content, style, cfg, n_steps=n_steps, chunk=chunk)
     try:
         baseline = measure_torch_baseline(content, style, cfg)
         if batch:
