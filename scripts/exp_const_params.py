@@ -197,6 +197,33 @@ def main():
     if "K" in only:
         timeit("K flat-content-arg", run_flat)
 
+    # L: break the entry-layout constraint chain by passing each content
+    # target through a full-shape dynamic-update-slice inside the body —
+    # the DUS output's layout is compiler-chosen (not pinned to the entry
+    # param), so the relayout should land on the 17 MB loop-invariant
+    # instead of cascading into the activations.
+    from jax import lax
+
+    def run_dus(n):
+        def launder(t):
+            return lax.dynamic_update_slice(t, t[0:1], (0,) * t.ndim)
+
+        @jax.jit
+        def f(t, x, o):
+            def body(i, carry):
+                x, o, _ = carry
+                tl = [(launder(c), g) for c, g in t]
+                fv, g_ = vgrad(params, tl, x)
+                upd, o = opt.update(g_, o)
+                lr = cfg.lr_start * jnp.power(jnp.float32(cfg.lr_decay),
+                                              i.astype(jnp.float32) + 1.0)
+                return x - lr * upd, o, fv
+            return jax.lax.fori_loop(0, n, body, (x, o, jnp.float32(0.0)))
+        return lambda: f(targets, x0, opt0)
+
+    if "L" in only:
+        timeit("L dus-laundered-content", run_dus)
+
 
 if __name__ == "__main__":
     main()

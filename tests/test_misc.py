@@ -136,3 +136,17 @@ def test_cli_compute_dtype_default_is_production(monkeypatch):
     args = parser.parse_args(["--content", "c", "--style", "s",
                               "--output", "o", "--compute-dtype", "float32"])
     assert config_from_args(args).compute_dtype == "float32"
+
+
+def test_cli_fused_style_bwd_flag():
+    """fused_style_bwd is default-on and --no-fused-style-bwd opts out
+    (graph-changing knob: must reach Config and the compile cache key)."""
+    from artstyletransfer_tpu.engine.transfer import _config_key
+
+    parser = build_parser()
+    base = ["--content", "c", "--style", "s", "--output", "o"]
+    on = config_from_args(parser.parse_args(base))
+    off = config_from_args(parser.parse_args(base + ["--no-fused-style-bwd"]))
+    assert on.fused_style_bwd and not off.fused_style_bwd
+    shapes = ((1, 8, 8, 3),)
+    assert _config_key(on, shapes) != _config_key(off, shapes)
