@@ -17,17 +17,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..config import Config
-from ..parallel.batch import DEFAULT_ASPECT_BUCKETS
-
-
-def bucket_content_shape(aspect: float, cfg: Config) -> tuple:
-    """(h, w) of the canonical content for an aspect bucket (w/h ratio):
-    shortest side = base_diameter * 2^(levels-1), matching
-    parallel.batch.canonicalize_content."""
-    side = cfg.base_diameter * 2 ** (cfg.levels_num - 1)
-    if aspect >= 1.0:
-        return side, int(round(side * aspect))
-    return int(round(side / aspect)), side
+from ..parallel.batch import (DEFAULT_ASPECT_BUCKETS,  # noqa: F401
+                              bucket_content_shape)
 
 
 def warmup_aspect_buckets(cfg: Config, params=None,

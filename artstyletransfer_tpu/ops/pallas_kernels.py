@@ -257,7 +257,7 @@ def conv_relu_supported(shape, cout: int) -> bool:
     b, h, w, c = shape
     return (b == 1 and c % 64 == 0 and cout % 64 == 0
             and h % _CONV_TILE_H == 0 and w % 8 == 0
-            and (_CONV_TILE_H + 2) * (w + 2) * max(c, 128) * 4
+            and (_CONV_TILE_H + 2) * (w + 2) * (-(-c // 128) * 128) * 4
             <= 4 * 1024 * 1024)
 
 
@@ -293,8 +293,8 @@ def _conv_relu_fwd_impl(x: jax.Array, w: jax.Array, b: jax.Array,
     cout = w.shape[-1]
     # Mosaic DMAs slice HBM memrefs at lane (128) granularity: pad the
     # channel dims to 128 multiples (zero channels are mathematically inert)
-    cin_p = max(128, cin) if cin % 128 else cin
-    cout_p = max(128, cout) if cout % 128 else cout
+    cin_p = -(-cin // 128) * 128
+    cout_p = -(-cout // 128) * 128
     xp = jnp.pad(x[0], ((1, 1), (1, 1), (0, cin_p - cin)))  # SAME halo
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, cout_p - cout)))
     bp = jnp.pad(b, (0, cout_p - cout))

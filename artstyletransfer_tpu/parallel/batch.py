@@ -61,10 +61,17 @@ def _build_batched_runners(cfg: Config, level_shapes: tuple):
         return jax.vmap(lambda c, s: runners.raw_targets(params, c, s))(
             c_levels, s_levels)
 
+    def batched_metrics(params, targets, x):
+        def one(t, xx):
+            total, _ = runners.raw_metrics(params, t, xx)
+            return total
+        return jax.vmap(one)(targets, x)
+
     compiled = (jax.jit(batched_init),
                 jax.jit(batched_chunk, static_argnums=(5,),
                         donate_argnums=(2, 3)),
-                jax.jit(batched_targets))
+                jax.jit(batched_targets),
+                jax.jit(batched_metrics))
     _BATCH_CACHE[key] = compiled
     return compiled
 
@@ -78,14 +85,6 @@ class BatchedTransferJob:
                  shard_space: bool = False,
                  init_overrides: Optional[Sequence[np.ndarray]] = None):
         assert len(contents) == len(styles) and contents
-        if (shard_space and mesh is not None and "space" in mesh.axis_names
-                and mesh.shape["space"] > 1
-                and cfg.pool_impl == "reduce_window"):
-            # reduce_window's select-and-scatter triggers SPMD involuntary
-            # rematerialization fallbacks under space sharding; the slice
-            # pool partitions cleanly (identical forward semantics)
-            import dataclasses
-            cfg = dataclasses.replace(cfg, pool_impl="slices")
         self.cfg = cfg
         self.batch = len(contents)
         self.mesh = mesh
@@ -141,17 +140,47 @@ class BatchedTransferJob:
                      for l in range(n_levels)]
         x0 = np.stack(x0)  # (B, n)
 
-        jit_init, jit_chunk, jit_targets = _build_batched_runners(
-            cfg, tuple(self.level_shapes))
+        # space sharding engages only if the per-job pixel vector divides
+        # the mesh's space axis; the pool swap must share that condition
+        # (the slice pool is ~22% slower in-graph — don't pay it when the
+        # batch ends up replicated anyway)
+        use_space = (shard_space and mesh is not None
+                     and "space" in mesh.axis_names
+                     and x0.shape[1] % mesh.shape["space"] == 0)
+        if (use_space and mesh.shape["space"] > 1
+                and cfg.pool_impl == "reduce_window"):
+            # reduce_window's select-and-scatter triggers SPMD involuntary
+            # rematerialization fallbacks under space sharding; the slice
+            # pool partitions cleanly (identical forward semantics)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, pool_impl="slices")
+            self.cfg = cfg
+
+        if cfg.optimizer == "lbfgs":
+            # the single-job warning in _build_runners only sees one job's
+            # history; the vmapped state is batch x that
+            n_pixels = int(np.prod(self.level_shapes[0]))
+            hist_gb = (2 * cfg.lbfgs_history * n_pixels * 4
+                       * self.batch / 1e9)
+            if hist_gb > 8.0:
+                import sys
+
+                print(f"warning: batched L-BFGS history needs "
+                      f"~{hist_gb:.1f} GB ({self.batch} jobs x "
+                      f"history={cfg.lbfgs_history}); consider "
+                      f"--lbfgs-history 10 or a smaller batch",
+                      file=sys.stderr)
+
+        jit_init, jit_chunk, jit_targets, jit_metrics = \
+            _build_batched_runners(cfg, tuple(self.level_shapes))
         self._init_fn, self._chunk_fn = jit_init, jit_chunk
+        self._metrics_fn = jit_metrics
 
         # Place data on the mesh; shardings then propagate through every
         # jitted computation (params replicated, batch on 'jobs', pixels
         # optionally on 'space').
         if mesh is not None:
             job_axes = P("jobs")
-            use_space = (shard_space and "space" in mesh.axis_names
-                         and x0.shape[1] % mesh.shape["space"] == 0)
             x_axes = P("jobs", "space" if use_space else None)
             self.params = jax.device_put(
                 self.params, NamedSharding(mesh, P()))
@@ -199,12 +228,13 @@ class BatchedTransferJob:
                                                     opt_state)
             x = jnp.asarray(x_np)
             if done >= iters:
-                # completed checkpoint — yield its final state once
+                # completed checkpoint — yield its final state once, with
+                # real per-job losses (mirrors the single-job resume path)
                 imgs = np.asarray(x).reshape((self.batch,) + top[1:])
                 imgs = np.stack([unprepare_img(im)
                                  for im in imgs[:self.real_batch]])
-                yield done, imgs, np.full((self.real_batch,), np.nan,
-                                          np.float32)
+                losses = self._metrics_fn(self.params, self.targets, x)
+                yield done, imgs, np.asarray(losses)[:self.real_batch]
                 return
         last_saved = done
         while done < iters:
@@ -239,6 +269,19 @@ def bucket_jobs(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]]
 
 # Canonical aspect ratios (w/h) for content bucketing in serving mode.
 DEFAULT_ASPECT_BUCKETS = (1.0, 4 / 3, 3 / 4, 16 / 9, 9 / 16, 3 / 2, 2 / 3)
+
+
+def bucket_content_shape(aspect: float, cfg: Config) -> tuple:
+    """(h, w) of the canonical content shape for an aspect bucket (w/h):
+    shortest side = base_diameter * 2^(levels-1).
+
+    The single source of truth for bucket shapes: canonicalize_content
+    resizes to it and engine.warmup precompiles it, so warmed and served
+    shapes are equal by construction."""
+    side = cfg.base_diameter * 2 ** (cfg.levels_num - 1)
+    if aspect >= 1.0:
+        return side, int(round(side * aspect))
+    return int(round(side / aspect)), side
 
 
 def crop_to_aspect_bucket(img: np.ndarray,
@@ -276,15 +319,14 @@ def canonicalize_content(content: np.ndarray, cfg: Config) -> np.ndarray:
     serving (Telegram bot, lab queue)."""
     from ..ops.resize import bicubic_resize_np
 
-    scale = 2 ** (cfg.levels_num - 1)
+    h, w = content.shape[:2]
+    target = min(DEFAULT_ASPECT_BUCKETS, key=lambda a: abs(a - w / h))
     c = crop_to_aspect_bucket(content)
-    h, w = c.shape[:2]
-    if h >= w:
-        tw = cfg.base_diameter * scale
-        th = int(round(tw * h / w))
-    else:
-        th = cfg.base_diameter * scale
-        tw = int(round(th * w / h))
+    # the target shape must come from the BUCKET's exact ratio, not the
+    # cropped image's (integer-rounded) one: recomputing it from the crop
+    # lands 1-5 px off the precompiled bucket shape for ~half of real
+    # inputs, turning every such request into a fresh multi-minute compile
+    th, tw = bucket_content_shape(target, cfg)
     return bicubic_resize_np(c, th, tw)
 
 

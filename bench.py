@@ -213,7 +213,9 @@ def main():
         baseline = measure_torch_baseline(content, style, cfg)
         if batch:
             # the reference caps itself at 2 concurrent jobs on the device
-            # (reference config.py:1), so its job throughput is 2x one job
+            # (reference config.py:1); granting it IDEAL 2x scaling (two
+            # torch jobs on one CPU core actually aggregate to ~1x) makes
+            # the reported vs_baseline a conservative lower bound
             baseline = 2 * baseline
         vs = ours / baseline if baseline > 0 else float("nan")
     except Exception as e:  # keep the bench result even if torch fails

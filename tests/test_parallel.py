@@ -186,6 +186,18 @@ def test_batched_checkpoint_resume(jobs_data, vgg_params, tmp_path):
     np.testing.assert_allclose(losses_res, losses_full, rtol=1e-6)
     np.testing.assert_allclose(imgs_res, imgs_full, rtol=1e-5, atol=1e-6)
 
+    # resuming a COMPLETED checkpoint must yield the final images with
+    # real finite per-job losses, not NaN placeholders (regression)
+    done = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                              params=vgg_params)
+    steps, imgs_done, losses_done = list(
+        done.run(iters_num=2, checkpoint_path=ckpt, resume=True))[-1]
+    assert steps >= 2 and imgs_done is not None
+    # real loss values (the chunk's in-flight loss is evaluated pre-update,
+    # so only finiteness and the images are bit-comparable)
+    assert np.all(np.isfinite(losses_done))
+    np.testing.assert_allclose(imgs_done, imgs_res, rtol=1e-6, atol=1e-7)
+
 
 def test_tiny_base_diameter_rejected(jobs_data, vgg_params):
     """base_diameter < 16 would give empty VGG taps (NaN losses)."""
@@ -241,6 +253,26 @@ def test_canonicalize_helpers_collapse_shapes(rng):
     assert shapes <= buckets
     s = canonicalize_style(rng.random((37, 90, 3)).astype(np.float32), cfg)
     assert s.shape == (16, 16, 3)
+
+
+def test_canonicalize_content_hits_bucket_at_production_size(rng):
+    """Regression: the target shape must derive from the bucket's exact
+    ratio. Recomputing it from the crop's integer-rounded ratio put ~half
+    of real inputs 1-5 px off the precompiled bucket shape (e.g. 500x700
+    at 3level1024 resized to 1024x1366 instead of the warmed 1024x1365),
+    defeating the serving anti-recompile path."""
+    from artstyletransfer_tpu.parallel.batch import (DEFAULT_ASPECT_BUCKETS,
+                                                     bucket_content_shape,
+                                                     canonicalize_content)
+
+    cfg = Config(levels_num=3, base_diameter=256)
+    buckets = {bucket_content_shape(a, cfg) + (3,)
+               for a in DEFAULT_ASPECT_BUCKETS}
+    for hw in ((500, 700), (467, 701), (723, 480), (1080, 1919),
+               (333, 500), (512, 768)):
+        c = rng.random(hw + (3,)).astype(np.float32)
+        out = canonicalize_content(c, cfg)
+        assert out.shape in buckets, (hw, out.shape)
 
 
 def test_warmup_compiles_buckets(vgg_params):
