@@ -119,30 +119,38 @@ def _cubic_interpolate(x1, f1, g1, x2, f2, g2, bmin, bmax):
     return jnp.where(ok, jnp.clip(min_pos, bmin, bmax), 0.5 * (bmin + bmax))
 
 
-class _BracketState(NamedTuple):
-    status: jax.Array   # 0 = searching, 1 = bracketed, 2 = done (accept t)
+class _SearchState(NamedTuple):
+    """Unified bracket+zoom line-search state.
+
+    The whole search runs as ONE lax.while_loop whose body contains the
+    ONLY loss/grad evaluation site. The previous two-loop formulation
+    (bracket while_loop + zoom while_loop + a standalone initial eval)
+    inlined the full VGG-pyramid gradient graph three times, tripling
+    XLA compile time of the default optimizer (~6-7 min for 2level512
+    through the remote tunnel); a phase flag + masked updates keep the
+    exact torch decision sequence with a single inlined gradient.
+    """
+    done: jax.Array
+    phase: jax.Array    # 0 = bracketing, 1 = zooming
+    t_pend: jax.Array   # next trial step to evaluate
     ls_iter: jax.Array
     n_evals: jax.Array
-    t: jax.Array
-    f_t: jax.Array
-    gtd_t: jax.Array
-    g_t: jax.Array
+    # previous bracket-phase point
     t_prev: jax.Array
     f_prev: jax.Array
     gtd_prev: jax.Array
     g_prev: jax.Array
-
-
-class _ZoomState(NamedTuple):
-    done: jax.Array
+    # zoom bracket
     insuf: jax.Array    # insufficient-progress flag
     low: jax.Array      # index (0/1) of the lower-f bracket end
-    ls_iter: jax.Array
-    n_evals: jax.Array
     b_t: jax.Array      # (2,)
     b_f: jax.Array      # (2,)
     b_gtd: jax.Array    # (2,)
     b_g: jax.Array      # (2, n)
+    # result (valid when done)
+    t_res: jax.Array
+    f_res: jax.Array
+    g_res: jax.Array
 
 
 def _strong_wolfe(loss_grad: LossGradFn, x: jax.Array, d: jax.Array,
@@ -156,6 +164,7 @@ def _strong_wolfe(loss_grad: LossGradFn, x: jax.Array, d: jax.Array,
     """
     gtd0 = jnp.dot(g0, d)
     d_norm = jnp.max(jnp.abs(d))
+    n = x.shape[0]
 
     def eval_at(t):
         f, g = loss_grad(x + t * d)
@@ -167,129 +176,137 @@ def _strong_wolfe(loss_grad: LossGradFn, x: jax.Array, d: jax.Array,
     def curv_ok(gtd):
         return jnp.abs(gtd) <= -_C2 * gtd0
 
-    # ---- phase 1: bracketing --------------------------------------------
-    f1, g1, gtd1 = eval_at(t_init)
-    init = _BracketState(
-        status=jnp.int32(0), ls_iter=jnp.int32(0), n_evals=jnp.int32(1),
-        t=t_init, f_t=f1, gtd_t=gtd1, g_t=g1,
+    init = _SearchState(
+        done=jnp.bool_(False), phase=jnp.int32(0), t_pend=t_init,
+        ls_iter=jnp.int32(0), n_evals=jnp.int32(0),
         t_prev=jnp.zeros_like(t_init), f_prev=f0, gtd_prev=gtd0, g_prev=g0,
+        insuf=jnp.bool_(False), low=jnp.int32(0),
+        b_t=jnp.zeros((2,), t_init.dtype), b_f=jnp.zeros((2,), f0.dtype),
+        b_gtd=jnp.zeros((2,), f0.dtype), b_g=jnp.zeros((2, n), g0.dtype),
+        t_res=jnp.zeros_like(t_init), f_res=f0, g_res=g0,
     )
 
-    def b_cond(s: _BracketState):
-        return (s.status == 0) & (s.ls_iter < max_iter)
+    def body(s: _SearchState) -> _SearchState:
+        t = s.t_pend
+        f, g, gtd = eval_at(t)                       # the ONE eval site
+        n_evals = s.n_evals + 1
+        in_br = s.phase == 0
+        in_zoom = s.phase == 1
 
-    def b_body(s: _BracketState) -> _BracketState:
+        # ---- bracket incorporate (torch's top-of-loop checks) -----------
+        # the eval that pushes ls_iter to max_iter is bracketed into
+        # [0, t] without being condition-checked, exactly like torch's
+        # bottom-of-loop eval + failed while re-check
+        exhausted = in_br & (s.ls_iter >= max_iter)
         # torch's quirk: the f_prev re-bracket check only arms from the
         # third condition evaluation (ls_iter > 1)
-        fail = armijo_fail(s.t, s.f_t) | ((s.ls_iter > 1) & (s.f_t >= s.f_prev))
-        accept = curv_ok(s.gtd_t)
-        going_up = s.gtd_t >= 0.0
+        fail = armijo_fail(t, f) | ((s.ls_iter > 1) & (f >= s.f_prev))
+        accept = curv_ok(gtd) & ~fail
+        going_up = (gtd >= 0.0) & ~fail & ~accept
+        checked = in_br & ~exhausted
+        to_zoom = checked & (fail | going_up)
+        br_accept = checked & accept
+        extrap = checked & ~fail & ~accept & ~going_up
 
-        def settle(s):
-            st = jnp.where(fail, 1, jnp.where(accept, 2, 1))
-            return s._replace(status=jnp.int32(0) + st)
+        # extrapolation trial, torch bounds [t + 0.01*(t - t_prev), 10*t]
+        t_ext = _cubic_interpolate(s.t_prev, s.f_prev, s.gtd_prev,
+                                   t, f, gtd,
+                                   t + 0.01 * (t - s.t_prev), t * 10.0)
 
-        def extrapolate(s):
-            # torch bounds: [t + 0.01*(t - t_prev), 10*t]
-            min_step = s.t + 0.01 * (s.t - s.t_prev)
-            max_step = s.t * 10.0
-            t_new = _cubic_interpolate(s.t_prev, s.f_prev, s.gtd_prev,
-                                       s.t, s.f_t, s.gtd_t,
-                                       min_step, max_step)
-            f_new, g_new, gtd_new = eval_at(t_new)
-            return s._replace(
-                t_prev=s.t, f_prev=s.f_t, gtd_prev=s.gtd_t, g_prev=s.g_t,
-                t=t_new, f_t=f_new, gtd_t=gtd_new, g_t=g_new,
-                n_evals=s.n_evals + 1, ls_iter=s.ls_iter + 1)
+        # bracket built at the zoom transition: [prev point, current trial]
+        nb_t = jnp.stack([s.t_prev, t])
+        nb_f = jnp.stack([s.f_prev, f])
+        nb_gtd = jnp.stack([s.gtd_prev, gtd])
+        nb_g = jnp.stack([s.g_prev, g])
+        nb_low = jnp.where(nb_f[0] <= nb_f[1], jnp.int32(0), jnp.int32(1))
 
-        return lax.cond(fail | accept | going_up, settle, extrapolate, s)
-
-    br = lax.while_loop(b_cond, b_body, init)
-
-    exhausted = br.status == 0   # ls_iter hit max_iter while bracketing
-    accepted = br.status == 2
-
-    # bracket contents:
-    #   exhausted      -> [0, t]        with (f0, g0) and the last trial
-    #   bracketed      -> [t_prev, t]
-    #   accepted(done) -> [t, t] (zoom is skipped)
-    e0_t = jnp.where(exhausted, jnp.zeros_like(br.t),
-                     jnp.where(accepted, br.t, br.t_prev))
-    e0_f = jnp.where(exhausted, f0, jnp.where(accepted, br.f_t, br.f_prev))
-    e0_gtd = jnp.where(exhausted, gtd0,
-                       jnp.where(accepted, br.gtd_t, br.gtd_prev))
-    e0_g = jnp.where(exhausted, g0, jnp.where(accepted, br.g_t, br.g_prev))
-    b_t = jnp.stack([e0_t, br.t])
-    b_f = jnp.stack([e0_f, br.f_t])
-    b_gtd = jnp.stack([e0_gtd, br.gtd_t])
-    b_g = jnp.stack([e0_g, br.g_t])
-
-    # ---- phase 2: zoom ----------------------------------------------------
-    zinit = _ZoomState(
-        done=accepted, insuf=jnp.bool_(False),
-        low=jnp.where(b_f[0] <= b_f[1], jnp.int32(0), jnp.int32(1)),
-        ls_iter=br.ls_iter, n_evals=br.n_evals,
-        b_t=b_t, b_f=b_f, b_gtd=b_gtd, b_g=b_g,
-    )
-
-    def z_cond(s: _ZoomState):
-        wide = jnp.abs(s.b_t[1] - s.b_t[0]) * d_norm >= _TOL_CHANGE
-        return (~s.done) & (s.ls_iter < max_iter) & wide
-
-    def z_body(s: _ZoomState) -> _ZoomState:
+        # ---- zoom incorporate -------------------------------------------
         lo = s.low
         hi = 1 - lo
-        bmin = jnp.minimum(s.b_t[0], s.b_t[1])
-        bmax = jnp.maximum(s.b_t[0], s.b_t[1])
-        t = _cubic_interpolate(s.b_t[0], s.b_f[0], s.b_gtd[0],
-                               s.b_t[1], s.b_f[1], s.b_gtd[1], bmin, bmax)
-        # torch's insufficient-progress guard: a trial within 10% of a
-        # boundary is tolerated once, then nudged to boundary - eps
-        eps = 0.1 * (bmax - bmin)
-        close = jnp.minimum(bmax - t, t - bmin) < eps
-        nudge = s.insuf | (t >= bmax) | (t <= bmin)
-        t_nudged = jnp.where(jnp.abs(t - bmax) < jnp.abs(t - bmin),
-                             bmax - eps, bmin + eps)
-        t = jnp.where(close & nudge, t_nudged, t)
-        insuf_new = close & ~nudge
-
-        f_t, g_t, gtd_t = eval_at(t)
-        fail = armijo_fail(t, f_t) | (f_t >= s.b_f[lo])
-
-        # fail branch: new point becomes the high end; relabel low by f
+        zfail = armijo_fail(t, f) | (f >= s.b_f[lo])
+        # fail: new point becomes the high end; relabel low by f
         ft_t = s.b_t.at[hi].set(t)
-        ft_f = s.b_f.at[hi].set(f_t)
-        ft_gtd = s.b_gtd.at[hi].set(gtd_t)
-        ft_g = s.b_g.at[hi].set(g_t)
+        ft_f = s.b_f.at[hi].set(f)
+        ft_gtd = s.b_gtd.at[hi].set(gtd)
+        ft_g = s.b_g.at[hi].set(g)
         low_fail = jnp.where(ft_f[0] <= ft_f[1], jnp.int32(0), jnp.int32(1))
-
-        # success branch: maybe flip high<-low, then new point becomes low
-        done_new = curv_ok(gtd_t)
-        flip = gtd_t * (s.b_t[hi] - s.b_t[lo]) >= 0.0
+        # success: maybe flip high<-low, then new point becomes low
+        zsucc_done = curv_ok(gtd)
+        flip = gtd * (s.b_t[hi] - s.b_t[lo]) >= 0.0
         el_t = jnp.where(flip, s.b_t.at[hi].set(s.b_t[lo]), s.b_t)
         el_f = jnp.where(flip, s.b_f.at[hi].set(s.b_f[lo]), s.b_f)
         el_gtd = jnp.where(flip, s.b_gtd.at[hi].set(s.b_gtd[lo]), s.b_gtd)
         el_g = jnp.where(flip, s.b_g.at[hi].set(s.b_g[lo]), s.b_g)
-        el_t = el_t.at[lo].set(t)
-        el_f = el_f.at[lo].set(f_t)
-        el_gtd = el_gtd.at[lo].set(gtd_t)
-        el_g = el_g.at[lo].set(g_t)
+        zb_t = jnp.where(zfail, ft_t, el_t.at[lo].set(t))
+        zb_f = jnp.where(zfail, ft_f, el_f.at[lo].set(f))
+        zb_gtd = jnp.where(zfail, ft_gtd, el_gtd.at[lo].set(gtd))
+        zb_g = jnp.where(zfail, ft_g, el_g.at[lo].set(g))
+        zlow = jnp.where(zfail, low_fail, lo)
+        zoom_success = in_zoom & ~zfail & zsucc_done
 
-        return _ZoomState(
-            done=jnp.where(fail, s.done, done_new),
-            insuf=insuf_new,
-            low=jnp.where(fail, low_fail, lo),
-            ls_iter=s.ls_iter + 1,
-            n_evals=s.n_evals + 1,
-            b_t=jnp.where(fail, ft_t, el_t),
-            b_f=jnp.where(fail, ft_f, el_f),
-            b_gtd=jnp.where(fail, ft_gtd, el_gtd),
-            b_g=jnp.where(fail, ft_g, el_g),
+        # ---- merged post-incorporate bracket ----------------------------
+        ub_t = jnp.where(to_zoom, nb_t, jnp.where(in_zoom, zb_t, s.b_t))
+        ub_f = jnp.where(to_zoom, nb_f, jnp.where(in_zoom, zb_f, s.b_f))
+        ub_gtd = jnp.where(to_zoom, nb_gtd,
+                           jnp.where(in_zoom, zb_gtd, s.b_gtd))
+        ub_g = jnp.where(to_zoom, nb_g, jnp.where(in_zoom, zb_g, s.b_g))
+        ulow = jnp.where(to_zoom, nb_low, jnp.where(in_zoom, zlow, s.low))
+        uls = s.ls_iter + (extrap | in_zoom).astype(jnp.int32)
+
+        # ---- decide the next zoom trial (or stop) -----------------------
+        zooming = (to_zoom | in_zoom) & ~zoom_success
+        wide = jnp.abs(ub_t[1] - ub_t[0]) * d_norm >= _TOL_CHANGE
+        zstop = zooming & ((~wide) | (uls >= max_iter))
+        bmin = jnp.minimum(ub_t[0], ub_t[1])
+        bmax = jnp.maximum(ub_t[0], ub_t[1])
+        tz = _cubic_interpolate(ub_t[0], ub_f[0], ub_gtd[0],
+                                ub_t[1], ub_f[1], ub_gtd[1], bmin, bmax)
+        # torch's insufficient-progress guard: a trial within 10% of a
+        # boundary is tolerated once, then nudged to boundary - eps
+        eps = 0.1 * (bmax - bmin)
+        close = jnp.minimum(bmax - tz, tz - bmin) < eps
+        nudge = jnp.where(to_zoom, jnp.bool_(False), s.insuf) \
+            | (tz >= bmax) | (tz <= bmin)
+        tz = jnp.where(close & nudge,
+                       jnp.where(jnp.abs(tz - bmax) < jnp.abs(tz - bmin),
+                                 bmax - eps, bmin + eps), tz)
+        insuf_next = close & ~nudge
+
+        # ---- results ----------------------------------------------------
+        zoom_done = zoom_success | zstop
+        done = exhausted | br_accept | zoom_done
+        # exhausted: lowest-f of the [0, t] bracket, like torch
+        ex_zero = f0 <= f
+        res_t = jnp.where(
+            exhausted, jnp.where(ex_zero, jnp.zeros_like(t), t),
+            jnp.where(br_accept, t,
+                      jnp.where(zoom_done, ub_t[ulow], s.t_res)))
+        res_f = jnp.where(exhausted, jnp.where(ex_zero, f0, f),
+                          jnp.where(br_accept, f,
+                                    jnp.where(zoom_done, ub_f[ulow],
+                                              s.f_res)))
+        res_g = jnp.where(exhausted, jnp.where(ex_zero, g0, g),
+                          jnp.where(br_accept, g,
+                                    jnp.where(zoom_done, ub_g[ulow],
+                                              s.g_res)))
+
+        return _SearchState(
+            done=done,
+            phase=jnp.where(to_zoom | in_zoom, jnp.int32(1), jnp.int32(0)),
+            t_pend=jnp.where(extrap, t_ext, jnp.where(zooming, tz,
+                                                      s.t_pend)),
+            ls_iter=uls, n_evals=n_evals,
+            t_prev=jnp.where(extrap, t, s.t_prev),
+            f_prev=jnp.where(extrap, f, s.f_prev),
+            gtd_prev=jnp.where(extrap, gtd, s.gtd_prev),
+            g_prev=jnp.where(extrap, g, s.g_prev),
+            insuf=jnp.where(zooming, insuf_next, jnp.bool_(False)),
+            low=ulow, b_t=ub_t, b_f=ub_f, b_gtd=ub_gtd, b_g=ub_g,
+            t_res=res_t, f_res=res_f, g_res=res_g,
         )
 
-    out = lax.while_loop(z_cond, z_body, zinit)
-    lo = out.low
-    return out.b_t[lo], out.b_f[lo], out.b_g[lo], out.n_evals
+    out = lax.while_loop(lambda s: ~s.done, body, init)
+    return out.t_res, out.f_res, out.g_res, out.n_evals
 
 
 def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
