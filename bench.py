@@ -51,6 +51,17 @@ BENCH_CONFIGS = {
     # (torch max_iter=1 + default max_eval -> max_ls=0)
     "lbfgs2level512ref": dict(levels_num=2, base_diameter=256,
                               optimizer="lbfgs", lbfgs_max_ls_steps=0),
+    # the reference's "maximum quality/resolution" combination (its
+    # default optimizer at levels_num=4, reference config.py:9,12):
+    # history=10 keeps the L-BFGS pair buffers at ~1.5 GB instead of the
+    # 15 GB torch's history_size=100 default would need at 2K
+    # _chunk=10: a 50-step chunk of this config is ~100s of device time,
+    # which crashes the axon tunnel worker (see CLAUDE.md); 10-step
+    # chunks (~6s) pipeline fine
+    "lbfgs4level2k": dict(levels_num=4, base_diameter=256,
+                          optimizer="lbfgs", lbfgs_history=10,
+                          compute_dtype="bfloat16", _chunk=10,
+                          _steps=100),
     # batched multi-job throughput (vmapped batch of 8 identical-shape
     # jobs on one chip); reported in job-steps/sec
     "batch8x1level256": dict(levels_num=1, base_diameter=256, _batch=8),
@@ -188,10 +199,12 @@ def main():
     name = os.environ.get("ASTT_BENCH_CONFIG", "3level1024")
     # 300 timed steps = 6 pipelined 50-step chunks: the remote tunnel's
     # ~0.7s/chunk dispatch RPC then costs <3% instead of ~20% at 100 steps
-    n_steps = int(os.environ.get("ASTT_BENCH_STEPS", "300"))
-    chunk = int(os.environ.get("ASTT_BENCH_CHUNK", "50"))
     overrides = dict(BENCH_CONFIGS[name])
     batch = overrides.pop("_batch", 0)
+    n_steps = int(os.environ.get("ASTT_BENCH_STEPS",
+                                 str(overrides.pop("_steps", 300))))
+    chunk = int(os.environ.get("ASTT_BENCH_CHUNK",
+                               str(overrides.pop("_chunk", 50))))
     overrides.setdefault("optimizer", "adam")
     cfg = Config(stream_every=50, init_method="content+noise", **overrides)
     content, style = load_images()
@@ -210,7 +223,11 @@ def main():
     else:
         ours = measure_ours(content, style, cfg, n_steps=n_steps, chunk=chunk)
     try:
-        baseline = measure_torch_baseline(content, style, cfg)
+        # a 2K-pyramid torch-CPU step runs ~8-20 min on this host: one
+        # timed step (plus warmup) is enough at a ~1000x ratio, and the
+        # result is cached permanently
+        baseline = measure_torch_baseline(
+            content, style, cfg, n_steps=1 if cfg.levels_num >= 4 else 3)
         if batch:
             # the reference caps itself at 2 concurrent jobs on the device
             # (reference config.py:1); granting it IDEAL 2x scaling (two
