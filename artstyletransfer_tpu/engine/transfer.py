@@ -160,6 +160,29 @@ def _config_key(cfg: Config, level_shapes) -> tuple:
             cfg.fused_style_bwd)
 
 
+def lbfgs_history_gb(cfg: Config, level_shapes, batch: int = 1) -> float:
+    """HBM the L-BFGS s/y history buffers need, in GB (f32 pairs)."""
+    n_pixels = int(np.prod(level_shapes[0]))
+    return 2 * cfg.lbfgs_history * n_pixels * 4 * batch / 1e9
+
+
+def warn_lbfgs_hbm(cfg: Config, level_shapes, batch: int = 1) -> bool:
+    """Print a stderr warning when the (possibly batched) L-BFGS history
+    approaches the chip's HBM; returns whether it fired. One formula /
+    threshold for the single-job and batched sites."""
+    hist_gb = lbfgs_history_gb(cfg, level_shapes, batch)
+    if hist_gb <= 8.0:
+        return False
+    import sys
+
+    jobs = f"{batch} jobs x " if batch > 1 else ""
+    print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB "
+          f"({jobs}history={cfg.lbfgs_history}); consider "
+          f"--lbfgs-history 10 or a smaller batch/resolution",
+          file=sys.stderr)
+    return True
+
+
 def _build_runners(cfg: Config, level_shapes):
     """Build (init_fn, chunk_fn, metrics_fn) for one shape bucket."""
     key = _config_key(cfg, level_shapes)
@@ -195,14 +218,7 @@ def _build_runners(cfg: Config, level_shapes):
         # torch-default history_size=100 needs 2 * history * n floats; warn
         # when that approaches the chip's HBM (e.g. 4-level/2K jobs) instead
         # of letting the allocator fail cryptically mid-run
-        n_pixels = int(np.prod(level_shapes[0]))
-        hist_gb = 2 * cfg.lbfgs_history * n_pixels * 4 / 1e9
-        if hist_gb > 8.0:
-            import sys
-
-            print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB "
-                  f"(history={cfg.lbfgs_history}, n={n_pixels}); consider "
-                  f"--lbfgs-history 10 for this resolution", file=sys.stderr)
+        warn_lbfgs_hbm(cfg, level_shapes)
 
         def init_fn(params, targets, x):
             lg = partial(loss_grad, params, targets)

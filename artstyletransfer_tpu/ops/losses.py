@@ -149,7 +149,9 @@ def level_loss(feats, target_content: jax.Array,
         acc = jnp.float32(0.0)
         for gt, i in zip(target_grams, style_indices):
             acc = acc + _style_layer_mse_convbwd(feats[i], gt[0])
-        s = acc / len(style_indices)
+        # normalize like style_loss (len(target_grams)) so the fused and
+        # autodiff paths stay interchangeable even if the sequences differ
+        s = acc / len(target_grams)
     else:
         current_grams = [gram_fn(feats[i]) for i in style_indices]
         s = style_loss(target_grams, current_grams)

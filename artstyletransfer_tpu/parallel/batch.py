@@ -26,7 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..engine.transfer import _build_runners, _config_key
+from ..engine.transfer import (_build_runners, _config_key,
+                               lbfgs_history_gb, warn_lbfgs_hbm)
 from ..engine.init_pipeline import build_init_image
 from ..engine.pyramid import build_input_pyramids
 from ..models.weights import load_vgg19_params
@@ -156,20 +157,12 @@ class BatchedTransferJob:
             cfg = dataclasses.replace(cfg, pool_impl="slices")
             self.cfg = cfg
 
-        if cfg.optimizer == "lbfgs":
+        if cfg.optimizer == "lbfgs" and lbfgs_history_gb(
+                cfg, self.level_shapes) <= 8.0:
             # the single-job warning in _build_runners only sees one job's
-            # history; the vmapped state is batch x that
-            n_pixels = int(np.prod(self.level_shapes[0]))
-            hist_gb = (2 * cfg.lbfgs_history * n_pixels * 4
-                       * self.batch / 1e9)
-            if hist_gb > 8.0:
-                import sys
-
-                print(f"warning: batched L-BFGS history needs "
-                      f"~{hist_gb:.1f} GB ({self.batch} jobs x "
-                      f"history={cfg.lbfgs_history}); consider "
-                      f"--lbfgs-history 10 or a smaller batch",
-                      file=sys.stderr)
+            # history; warn on the batch aggregate when the per-job check
+            # stays silent (otherwise two warnings would fire for one job)
+            warn_lbfgs_hbm(cfg, self.level_shapes, batch=self.batch)
 
         jit_init, jit_chunk, jit_targets, jit_metrics = \
             _build_batched_runners(cfg, tuple(self.level_shapes))
@@ -321,7 +314,8 @@ def canonicalize_content(content: np.ndarray, cfg: Config) -> np.ndarray:
 
     h, w = content.shape[:2]
     target = min(DEFAULT_ASPECT_BUCKETS, key=lambda a: abs(a - w / h))
-    c = crop_to_aspect_bucket(content)
+    # pass the chosen bucket down so crop and resize can never disagree
+    c = crop_to_aspect_bucket(content, aspects=(target,))
     # the target shape must come from the BUCKET's exact ratio, not the
     # cropped image's (integer-rounded) one: recomputing it from the crop
     # lands 1-5 px off the precompiled bucket shape for ~half of real

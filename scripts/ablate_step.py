@@ -415,8 +415,15 @@ def extra_ablations(argv):
 
     if want("gram_mse_bf16_chunked"):
         def loss16c(y):
+            # gram_matrix short-circuits bf16 below 2^21 into the 4-D dot,
+            # so build the chunked lowering explicitly to measure it
             z = y.reshape(1, h, w, c).astype(jnp.bfloat16)
-            g = gram_matrix(z)  # chunked lowering on bf16 input
+            k = 64
+            n = h * w
+            feats = z.reshape(1, k, n // k, c)
+            g = jnp.einsum("bknc,bknd->bkcd", feats, feats,
+                           preferred_element_type=jnp.float32)
+            g = jnp.sum(g, axis=1) / (c * n)
             return jnp.mean(jnp.square(g[0] - target))
 
         gr = jax.grad(loss16c)
