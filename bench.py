@@ -51,6 +51,14 @@ BENCH_CONFIGS = {
     # (torch max_iter=1 + default max_eval -> max_ls=0)
     "lbfgs2level512ref": dict(levels_num=2, base_diameter=256,
                               optimizer="lbfgs", lbfgs_max_ls_steps=0),
+    # the default optimizer at production precision (bf16 equivalence for
+    # L-BFGS ref-semantics established by scripts/precision_study.py)
+    "lbfgs2level512bf16": dict(levels_num=2, base_diameter=256,
+                               optimizer="lbfgs",
+                               compute_dtype="bfloat16"),
+    "lbfgs2level512refbf16": dict(levels_num=2, base_diameter=256,
+                                  optimizer="lbfgs", lbfgs_max_ls_steps=0,
+                                  compute_dtype="bfloat16"),
     # the reference's "maximum quality/resolution" combination (its
     # default optimizer at levels_num=4, reference config.py:9,12):
     # history=10 keeps the L-BFGS pair buffers at ~1.5 GB instead of the

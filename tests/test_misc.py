@@ -113,7 +113,15 @@ def test_production_config_platform_resolution(monkeypatch):
     assert production_config(Config()).compute_dtype == "float32"
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert production_config(Config()).compute_dtype == "bfloat16"
+    # measured exception: full-Wolfe L-BFGS (the default config) runs
+    # slower in bf16 on TPU and stays f32
+    assert production_config(Config()).compute_dtype == "float32"
+    assert production_config(
+        Config(optimizer="adam")).compute_dtype == "bfloat16"
+    # reference-semantics L-BFGS (max_ls=0) measured faster in bf16
+    assert production_config(
+        Config(optimizer="lbfgs",
+               lbfgs_max_ls_steps=0)).compute_dtype == "bfloat16"
     # a config that explicitly asks for a dtype is left alone
     explicit = Config(compute_dtype="bfloat16")
     assert production_config(explicit) is explicit
@@ -131,10 +139,16 @@ def test_cli_compute_dtype_default_is_production(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     parser = build_parser()
     args = parser.parse_args(["--content", "c", "--style", "s",
-                              "--output", "o"])
+                              "--output", "o", "--optimizer", "adam"])
     assert config_from_args(args).compute_dtype == "bfloat16"
     args = parser.parse_args(["--content", "c", "--style", "s",
-                              "--output", "o", "--compute-dtype", "float32"])
+                              "--output", "o", "--optimizer", "adam",
+                              "--compute-dtype", "float32"])
+    assert config_from_args(args).compute_dtype == "float32"
+    # the default optimizer is full-Wolfe L-BFGS, which measured slower
+    # in bf16 and stays f32 even on TPU
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o"])
     assert config_from_args(args).compute_dtype == "float32"
 
 
