@@ -59,6 +59,10 @@ BENCH_CONFIGS = {
     "lbfgs2level512refbf16": dict(levels_num=2, base_diameter=256,
                                   optimizer="lbfgs", lbfgs_max_ls_steps=0,
                                   compute_dtype="bfloat16"),
+    # the default optimizer at the headline resolution (f32 per the
+    # production rule: full-Wolfe L-BFGS measured slower in bf16)
+    "lbfgs3level1024": dict(levels_num=3, base_diameter=256,
+                            optimizer="lbfgs", _steps=150),
     # the reference's "maximum quality/resolution" combination (its
     # default optimizer at levels_num=4, reference config.py:9,12):
     # history=10 keeps the L-BFGS pair buffers at ~1.5 GB instead of the
