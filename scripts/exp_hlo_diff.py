@@ -60,33 +60,27 @@ def main():
                                  (x, o, jnp.float32(0.0)))
 
     def body_ops(txt):
-        # collect ops inside the while body computation(s)
+        # whole-module op histogram (the while body IS ~the whole module
+        # for this graph); shape sizes from the result type on each line
         ops = Counter()
         bytes_by_op = Counter()
-        in_body = False
         for line in txt.splitlines():
-            if re.match(r"^%?\S*(while_body|body)\S*\s*\(", line.strip()):
-                in_body = True
+            m = re.search(r"=\s+(?:\([^)]*\)|\S+)\s+([a-z][a-z0-9-]*)\(",
+                          line)
+            if not m:
                 continue
-            if in_body and line.startswith("}"):
-                in_body = False
-            if not in_body:
-                continue
-            m = re.search(r"=\s+(\S+?)\[?[\s(]", line.strip())
-            mm = re.search(r"=\s*(?:\(?[a-z0-9_\[\],{}\s/]+\)?)\s*([a-z-]+)\(", line)
-            if mm:
-                op = mm.group(1)
-                ops[op] += 1
-                sm = re.findall(r"(bf16|f32|s32|pred|u32)\[([\d,]*)\]", line)
-                if sm:
-                    d, shp = sm[0]
-                    sz = 1
-                    for t_ in shp.split(","):
-                        if t_:
-                            sz *= int(t_)
-                    bpe = {"bf16": 2, "f32": 4, "s32": 4, "u32": 4,
-                           "pred": 1}[d]
-                    bytes_by_op[op] += sz * bpe
+            op = m.group(1)
+            ops[op] += 1
+            sm = re.findall(r"(bf16|f32|s32|pred|u32)\[([\d,]*)\]", line)
+            if sm:
+                d, shp = sm[0]
+                sz = 1
+                for t_ in shp.split(","):
+                    if t_:
+                        sz *= int(t_)
+                bpe = {"bf16": 2, "f32": 4, "s32": 4, "u32": 4,
+                       "pred": 1}[d]
+                bytes_by_op[op] += sz * bpe
         return ops, bytes_by_op
 
     for name, comp in (("ARG", f_arg.lower(targets, x0, opt0).compile()),
