@@ -82,9 +82,11 @@ def main(argv):
     import os
 
     dtype = os.environ.get("ASTT_ABLATE_DTYPE", "float32")
+    pool = os.environ.get("ASTT_ABLATE_POOL", "reduce_window")
     cfg = Config(levels_num=3, base_diameter=256, optimizer="adam",
-                 iters_num=100, stream_every=50, compute_dtype=dtype)
-    log(f"compute_dtype: {dtype}")
+                 iters_num=100, stream_every=50, compute_dtype=dtype,
+                 pool_impl=pool)
+    log(f"compute_dtype: {dtype}, pool_impl: {pool}")
     content, style = load_image(CONTENT), load_image(STYLE)
     job = TransferJob(content, style, cfg)
     log(f"pyramid: {job.level_shapes}")
