@@ -78,6 +78,11 @@ BENCH_CONFIGS = {
     # jobs on one chip); reported in job-steps/sec
     "batch8x1level256": dict(levels_num=1, base_diameter=256, _batch=8),
     "batch8x2level512": dict(levels_num=2, base_diameter=256, _batch=8),
+    # batch-size scaling on one chip (serving saturation curve)
+    "batch32x1level256": dict(levels_num=1, base_diameter=256, _batch=32,
+                              compute_dtype="bfloat16"),
+    "batch16x2level512bf16": dict(levels_num=2, base_diameter=256,
+                                  _batch=16, compute_dtype="bfloat16"),
     # production-precision batched serving throughput (frontends default
     # to bf16 on TPU via config.production_config)
     "batch8x2level512bf16": dict(levels_num=2, base_diameter=256, _batch=8,
