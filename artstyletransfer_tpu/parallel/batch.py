@@ -354,6 +354,12 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     sequential queue (reference task_executor.py): a full 20-pair lab run
     becomes a handful of sharded batches instead of 10 serialized rounds.
 
+    Optimizer guidance (measured, PARITY.md): batching pays for Adam and
+    for reference-semantics L-BFGS (fixed-length search); FULL-WOLFE
+    L-BFGS is ~2x slower batched than sequential (the vmapped line-search
+    while_loops run in lockstep at the max iteration count across jobs) —
+    submit such jobs one at a time.
+
     canonicalize_styles resizes every style image to a square of the
     level-0 base diameter, so jobs sharing a content shape land in one
     batch regardless of style aspect ratio. Style images only contribute

@@ -78,6 +78,14 @@ BENCH_CONFIGS = {
     # jobs on one chip); reported in job-steps/sec
     "batch8x1level256": dict(levels_num=1, base_diameter=256, _batch=8),
     "batch8x2level512": dict(levels_num=2, base_diameter=256, _batch=8),
+    # the DEFAULT optimizer batched: vmapped full-Wolfe L-BFGS, where each
+    # vmapped while_loop iteration runs until every job's line search is
+    # done (lockstep cost of batching a data-dependent search)
+    # history=10: torch's history_size=100 default OOMs at batch 8 on one
+    # 16 GB chip (22.9 GB: 7.5 GB pair buffers + vmapped search state)
+    "batch8x2level512lbfgs": dict(levels_num=2, base_diameter=256,
+                                  optimizer="lbfgs", lbfgs_history=10,
+                                  _batch=8, _chunk=10, _steps=100),
     # batch-size scaling on one chip (serving saturation curve)
     "batch32x1level256": dict(levels_num=1, base_diameter=256, _batch=32,
                               compute_dtype="bfloat16"),
@@ -224,8 +232,10 @@ def main():
     batch = overrides.pop("_batch", 0)
     n_steps = int(os.environ.get("ASTT_BENCH_STEPS",
                                  str(overrides.pop("_steps", 300))))
-    chunk = int(os.environ.get("ASTT_BENCH_CHUNK",
-                               str(overrides.pop("_chunk", 50))))
+    cfg_chunk = overrides.pop("_chunk", None)
+    env_chunk = os.environ.get("ASTT_BENCH_CHUNK")
+    chunk = int(env_chunk or cfg_chunk or 50)
+    chunk_explicit = env_chunk is not None or cfg_chunk is not None
     overrides.setdefault("optimizer", "adam")
     cfg = Config(stream_every=50, init_method="content+noise", **overrides)
     content, style = load_images()
@@ -237,10 +247,13 @@ def main():
 
     if batch:
         # batched device steps are only a few ms: use longer runs and
-        # bigger chunks so the ~0.7s/chunk tunnel RPC stays in the noise
+        # bigger chunks so the ~0.7s/chunk tunnel RPC stays in the noise —
+        # unless the config pins a chunk size (heavy batched steps must
+        # stay under the tunnel worker's ~60s execution limit, CLAUDE.md)
         ours = measure_ours_batched(content, style, cfg, batch,
                                     n_steps=max(n_steps, 500),
-                                    chunk=max(chunk, 100))
+                                    chunk=chunk if chunk_explicit
+                                    else max(chunk, 100))
     else:
         ours = measure_ours(content, style, cfg, n_steps=n_steps, chunk=chunk)
     try:
