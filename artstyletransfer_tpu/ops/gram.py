@@ -38,6 +38,26 @@ def _best_chunks(n: int, kmax: int = _MAX_CHUNKS) -> int:
     return best
 
 
+def _chunk_plan(n: int) -> tuple[int, int]:
+    """Chunking plan for a contraction of n rows: (k, n_pad).
+
+    n_pad >= n is divisible by k and each chunk n_pad // k stays below the
+    loop-ification threshold where possible. For prime-ish n (odd aspect
+    ratios) with no divisor <= _MAX_CHUNKS, the rows are zero-padded up to
+    the next _MAX_CHUNKS-divisible count instead of silently falling back
+    to the loop-ified single-dot lowering: zero rows are inert in x^T x and
+    normalization uses the true c*h*w, so the Gram is exact.
+    """
+    if n < _CHUNK_THRESHOLD:
+        return 1, n
+    k = _best_chunks(n)
+    if k > 1 and (n // k) < _CHUNK_THRESHOLD:
+        return k, n
+    k = _MAX_CHUNKS
+    n_pad = -(-n // k) * k
+    return k, n_pad
+
+
 def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
     """Batched Gram matrix of an NHWC feature map -> (b, c, c) float32.
 
@@ -55,9 +75,12 @@ def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
         if should_normalize:
             gram = gram / jnp.asarray(c * h * w, dtype=gram.dtype)
         return gram
-    k = _best_chunks(n) if n >= _CHUNK_THRESHOLD else 1
+    k, n_pad = _chunk_plan(n)
     if k > 1:
-        feats = x.reshape(b, k, n // k, c)
+        feats = x.reshape(b, n, c)
+        if n_pad != n:
+            feats = jnp.pad(feats, ((0, 0), (0, n_pad - n), (0, 0)))
+        feats = feats.reshape(b, k, n_pad // k, c)
         gram = jnp.einsum("bknc,bknd->bkcd", feats, feats,
                           preferred_element_type=jnp.float32)
         gram = jnp.sum(gram, axis=1)

@@ -91,6 +91,45 @@ def test_gram_chunked_lowering_matches_plain(rng):
     np.testing.assert_allclose(g, ref_g, rtol=1e-4, atol=1e-7)
 
 
+def test_gram_prime_contraction_pads_to_chunked(rng):
+    """Prime-ish hw >= 2^17 (odd aspect ratios) must take the zero-padded
+    chunked lowering, never the loop-ified single-dot fallback, and stay
+    numerically exact (zero rows are inert in x^T x; normalization uses the
+    true c*h*w)."""
+    from artstyletransfer_tpu.ops import gram as gram_mod
+
+    # 131101 is prime and >= 2^17: no divisor <= 64 exists.
+    n = 131101
+    assert n >= gram_mod._CHUNK_THRESHOLD and gram_mod._best_chunks(n) == 1
+    k, n_pad = gram_mod._chunk_plan(n)
+    assert k == gram_mod._MAX_CHUNKS and n_pad % k == 0 and n_pad >= n
+
+    x = rng.standard_normal((1, n, 1, 4)).astype(np.float32)
+    got = np.asarray(gram_mod.gram_matrix(jnp.asarray(x)))
+    f = x.reshape(1, n, 4)
+    ref = np.einsum("bnc,bnd->bcd", f, f) / (4 * n)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-7)
+
+    # gradient through the padded path
+    def loss(xx):
+        return jnp.sum(gram_mod.gram_matrix(xx))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    rowsum = f.sum(axis=2, keepdims=True)
+    ref_g = np.broadcast_to(2 * rowsum / (4 * n), f.shape).reshape(x.shape)
+    np.testing.assert_allclose(g, ref_g, rtol=1e-4, atol=1e-7)
+
+
+def test_gram_chunk_plan_divisible_unchanged():
+    """Divisible contractions keep the exact-divisor plan (no padding)."""
+    from artstyletransfer_tpu.ops import gram as gram_mod
+
+    k, n_pad = gram_mod._chunk_plan(512 * 512)
+    assert n_pad == 512 * 512 and k == 64
+    k, n_pad = gram_mod._chunk_plan(1000)  # below threshold
+    assert (k, n_pad) == (1, 1000)
+
+
 def test_gram_bf16_4d_lowering_matches_flat(rng):
     """The bf16 4-D dot lowering must equal the flattened einsum exactly
     (same contraction, f32 accumulation, only the index bookkeeping
