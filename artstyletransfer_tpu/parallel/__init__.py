@@ -1,2 +1,3 @@
 from .mesh import jobs_mesh, jobs_space_mesh  # noqa: F401
-from .batch import BatchedTransferJob, bucket_jobs, run_job_queue  # noqa: F401
+from .batch import (BatchedTransferJob, bucket_jobs,  # noqa: F401
+                    max_jobs_per_batch, resolve_batch_policy, run_job_queue)

@@ -29,7 +29,7 @@ from ..config import Config
 from ..engine.transfer import (_build_runners, _config_key,
                                lbfgs_history_gb, warn_lbfgs_hbm)
 from ..engine.init_pipeline import build_init_image
-from ..engine.pyramid import build_input_pyramids
+from ..engine.pyramid import build_input_pyramids, level_shape
 from ..models.weights import load_vgg19_params
 from ..utils.image import prepare_img, unprepare_img
 
@@ -157,11 +157,11 @@ class BatchedTransferJob:
             cfg = dataclasses.replace(cfg, pool_impl="slices")
             self.cfg = cfg
 
-        if cfg.optimizer == "lbfgs" and lbfgs_history_gb(
-                cfg, self.level_shapes) <= 8.0:
+        if cfg.optimizer == "lbfgs" and self.batch > 1:
             # the single-job warning in _build_runners only sees one job's
-            # history; warn on the batch aggregate when the per-job check
-            # stays silent (otherwise two warnings would fire for one job)
+            # history; always surface the batch-aggregate requirement (it
+            # subsumes the per-job figure — e.g. ~61 GB at batch 4 where the
+            # per-job warning reports ~15)
             warn_lbfgs_hbm(cfg, self.level_shapes, batch=self.batch)
 
         jit_init, jit_chunk, jit_targets, jit_metrics = \
@@ -336,11 +336,64 @@ def canonicalize_style(style: np.ndarray, cfg: Config) -> np.ndarray:
     return bicubic_resize_np(style, side, side)
 
 
+def resolve_batch_policy(cfg: Config, batch_policy: str = "auto") -> str:
+    """Resolve 'auto' to 'batched' | 'sequential' for a job queue.
+
+    Measured policy (PARITY.md): vmapping FULL-WOLFE L-BFGS is a ~2x LOSS —
+    the vmapped bracket/zoom while_loops run in lockstep at the max
+    line-search length across jobs (6.6 job-steps/s batched vs ~14
+    sequential at 2level512, and torch-default history at batch 8 blows
+    HBM) — while Adam and reference-semantics L-BFGS (max_ls=0, fixed-length
+    search) gain 3-8x from batching. The reference encodes its scheduling
+    guidance in code the same way (reference config.py:1: concurrency
+    "1 if the levels_num > 2"); 'auto' encodes ours.
+    """
+    if batch_policy != "auto":
+        if batch_policy not in ("batched", "sequential"):
+            raise ValueError(f"unknown batch_policy {batch_policy!r}; "
+                             "expected 'auto', 'batched' or 'sequential'")
+        return batch_policy
+    if cfg.optimizer == "lbfgs" and cfg.lbfgs_max_ls_steps > 0:
+        return "sequential"
+    return "batched"
+
+
+# Measured one-chip saturation: job-steps/s stops improving by batch 32
+# (406.7 job-steps/s at batch32x1level256, PARITY.md) — beyond it a bigger
+# batch only adds latency and HBM pressure.
+_SATURATION_BATCH = 32
+# HBM budget for the L-BFGS s/y history across a batch (v5e-1 has 16 GB;
+# the other half stays for activations, taps and targets). Same threshold
+# as warn_lbfgs_hbm.
+_LBFGS_HISTORY_BUDGET_GB = 8.0
+
+
+def max_jobs_per_batch(cfg: Config, content_shape: tuple) -> int:
+    """HBM-aware cap on jobs per compiled batch for one bucket.
+
+    The reference's own memory-aware cap is hard-coded scheduling guidance
+    (reference config.py:1, "1 if the levels_num > 2"); here the cap is
+    computed from the actual dominant state — the L-BFGS history pairs
+    (2 * history * n_pixels f32 per job) against an 8 GB budget — and the
+    measured batch-size saturation curve.
+    """
+    cap = _SATURATION_BATCH
+    if cfg.optimizer == "lbfgs":
+        h, w = level_shape(content_shape[0], content_shape[1],
+                           cfg.levels_num - 1, cfg.base_diameter)
+        per_job_gb = lbfgs_history_gb(cfg, [(1, h, w, 3)])
+        if per_job_gb > 0:
+            cap = min(cap, max(1, int(_LBFGS_HISTORY_BUDGET_GB / per_job_gb)))
+    return cap
+
+
 def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   cfg: Config, params=None, mesh: Optional[Mesh] = None,
                   shard_space: bool = False, progress=None,
                   canonicalize_styles: bool = False,
-                  canonicalize_contents: bool = False
+                  canonicalize_contents: bool = False,
+                  batch_policy: str = "auto",
+                  max_batch: Optional[int] = None
                   ) -> Tuple[Dict[str, np.ndarray], Dict[str, Exception]]:
     """Run an arbitrary job queue: bucket by shape, batch each bucket across
     the mesh, stream progress.
@@ -354,11 +407,16 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     sequential queue (reference task_executor.py): a full 20-pair lab run
     becomes a handful of sharded batches instead of 10 serialized rounds.
 
-    Optimizer guidance (measured, PARITY.md): batching pays for Adam and
-    for reference-semantics L-BFGS (fixed-length search); FULL-WOLFE
-    L-BFGS is ~2x slower batched than sequential (the vmapped line-search
-    while_loops run in lockstep at the max iteration count across jobs) —
-    submit such jobs one at a time.
+    batch_policy ('auto' default) encodes the measured optimizer routing
+    (see resolve_batch_policy): 'auto' vmaps Adam and reference-semantics
+    L-BFGS queues but runs FULL-WOLFE L-BFGS jobs one at a time (vmapping
+    them is a measured ~2x loss — lockstep line-search while_loops).
+    'batched'/'sequential' override explicitly.
+
+    Oversized buckets are split into sub-batches of max_batch jobs
+    (default: the HBM-aware cap from max_jobs_per_batch — L-BFGS history
+    budget + the measured batch-size saturation curve) instead of
+    compiling one arbitrarily large batch.
 
     canonicalize_styles resizes every style image to a square of the
     level-0 base diameter, so jobs sharing a content shape land in one
@@ -379,26 +437,34 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
         jobs = [(tid, c, canonicalize_style(s, cfg)) for tid, c, s in jobs]
 
     params = params if params is not None else load_vgg19_params(seed=cfg.seed)
+    policy = resolve_batch_policy(cfg, batch_policy)
     results: Dict[str, np.ndarray] = {}
     failures: Dict[str, Exception] = {}
     for bucket in bucket_jobs(jobs).values():
-        ids = [j[0] for j in bucket]
-        try:
-            batch = BatchedTransferJob(
-                [j[1] for j in bucket], [j[2] for j in bucket], cfg,
-                params=params, mesh=mesh, shard_space=shard_space)
-            for done, imgs, losses in batch.run():
-                if progress is not None:
-                    pct = done / cfg.iters_num * 100.0
-                    for i, tid in enumerate(ids):
-                        progress(tid, pct, imgs[i], float(losses[i]))
-            for i, tid in enumerate(ids):
-                results[tid] = imgs[i]
-        except Exception as e:  # noqa: BLE001 — bucket isolation
-            # one bad bucket (e.g. OOM at an extreme shape) must not kill
-            # the rest of the queue
-            for tid in ids:
-                failures[tid] = e
+        if policy == "sequential":
+            cap = 1
+        else:
+            cap = (max_batch if max_batch is not None
+                   else max_jobs_per_batch(cfg, bucket[0][1].shape))
+        groups = [bucket[i:i + cap] for i in range(0, len(bucket), cap)]
+        for group in groups:
+            ids = [j[0] for j in group]
+            try:
+                batch = BatchedTransferJob(
+                    [j[1] for j in group], [j[2] for j in group], cfg,
+                    params=params, mesh=mesh, shard_space=shard_space)
+                for done, imgs, losses in batch.run():
+                    if progress is not None:
+                        pct = done / cfg.iters_num * 100.0
+                        for i, tid in enumerate(ids):
+                            progress(tid, pct, imgs[i], float(losses[i]))
+                for i, tid in enumerate(ids):
+                    results[tid] = imgs[i]
+            except Exception as e:  # noqa: BLE001 — bucket isolation
+                # one bad group (e.g. OOM at an extreme shape) must not
+                # kill the rest of the queue
+                for tid in ids:
+                    failures[tid] = e
     if failures:
         import sys
 
