@@ -121,6 +121,7 @@ def load_images():
 
 def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     from artstyletransfer_tpu.engine.transfer import TransferJob
+    from artstyletransfer_tpu.utils.metrics import Throughput
 
     t0 = time.time()
     job = TransferJob(content, style, cfg)
@@ -129,28 +130,33 @@ def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
 
     # warmup: compile + first chunk (no intermediate image fetches: one D2H
     # per chunk is the cost of progress streaming, and this host reaches the
-    # chip over a low-bandwidth tunnel that would dominate the measurement)
+    # chip over a low-bandwidth tunnel that would dominate the measurement).
+    # Throughput's skipped first interval IS the compile-bearing chunk; the
+    # final chunk syncs (float(f) inside run()), so the aggregate over the
+    # remaining intervals is exactly (steps after warmup)/(wall after sync).
     t0 = time.time()
     it = job.run(iters_num=n_steps + chunk, stream_every=chunk,
                  yield_images=False)
+    tp = Throughput()
+    tp.tick(0)
     _done, _img, f0 = next(it)
     float(f0)  # sync: warmup chunk fully executed before timing starts
+    tp.tick(chunk)
     log(f"bench: compile+warmup chunk {time.time() - t0:.1f}s")
 
-    t0 = time.time()
     done = chunk
     for done, img, f in it:
-        pass
-    dt = time.time() - t0
-    steps = done - chunk
-    log(f"bench: {steps} steps in {dt:.2f}s, final loss {float(f):.4e}")
-    return steps / dt
+        tp.tick(done)
+    log(f"bench: {done - chunk} steps at {tp.steps_per_sec:.4f} steps/s, "
+        f"final loss {float(f):.4e}")
+    return tp.steps_per_sec
 
 
 def measure_ours_batched(content, style, cfg, batch, n_steps=200,
                          chunk=50) -> float:
     """Job-steps/sec of a vmapped batch of identical jobs on one chip."""
     from artstyletransfer_tpu.parallel import BatchedTransferJob
+    from artstyletransfer_tpu.utils.metrics import Throughput
 
     t0 = time.time()
     job = BatchedTransferJob([content] * batch, [style] * batch, cfg)
@@ -158,15 +164,19 @@ def measure_ours_batched(content, style, cfg, batch, n_steps=200,
         f"(batch={batch}, pyramid {job.level_shapes})")
     it = job.run(iters_num=n_steps + chunk, stream_every=chunk,
                  yield_images=False)
+    tp = Throughput()
+    tp.tick(0)
     _done, _imgs, f0 = next(it)
     np.asarray(f0)  # sync: warmup chunk executed before timing starts
-    t0 = time.time()
+    tp.tick(chunk)
+    done = chunk
     for done, _imgs, f in it:
         pass
     np.asarray(f)
-    dt = time.time() - t0
-    log(f"bench: {n_steps} steps x {batch} jobs in {dt:.2f}s")
-    return batch * n_steps / dt
+    tp.tick(done)
+    log(f"bench: {done - chunk} steps x {batch} jobs at "
+        f"{tp.steps_per_sec:.4f} steps/s/job-row")
+    return batch * tp.steps_per_sec
 
 
 def measure_torch_baseline(content, style, cfg, n_steps=3) -> float:
@@ -230,8 +240,10 @@ def main():
     # ~0.7s/chunk dispatch RPC then costs <3% instead of ~20% at 100 steps
     overrides = dict(BENCH_CONFIGS[name])
     batch = overrides.pop("_batch", 0)
-    n_steps = int(os.environ.get("ASTT_BENCH_STEPS",
-                                 str(overrides.pop("_steps", 300))))
+    cfg_steps = overrides.pop("_steps", None)
+    env_steps = os.environ.get("ASTT_BENCH_STEPS")
+    n_steps = int(env_steps or cfg_steps or 300)
+    steps_explicit = env_steps is not None or cfg_steps is not None
     cfg_chunk = overrides.pop("_chunk", None)
     env_chunk = os.environ.get("ASTT_BENCH_CHUNK")
     chunk = int(env_chunk or cfg_chunk or 50)
@@ -250,8 +262,13 @@ def main():
         # bigger chunks so the ~0.7s/chunk tunnel RPC stays in the noise —
         # unless the config pins a chunk size (heavy batched steps must
         # stay under the tunnel worker's ~60s execution limit, CLAUDE.md)
+        # ...and mirror the chunk handling for steps: only floor to 500
+        # when neither ASTT_BENCH_STEPS nor a config's pinned _steps asked
+        # for a specific length (batch8x2level512lbfgs pins _steps=100 for
+        # the slow lockstep full-Wolfe batch)
         ours = measure_ours_batched(content, style, cfg, batch,
-                                    n_steps=max(n_steps, 500),
+                                    n_steps=n_steps if steps_explicit
+                                    else max(n_steps, 500),
                                     chunk=chunk if chunk_explicit
                                     else max(chunk, 100))
     else:
