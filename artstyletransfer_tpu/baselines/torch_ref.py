@@ -34,9 +34,16 @@ _POOL_AFTER = {"conv1_2", "conv2_2", "conv3_4", "conv4_4"}
 
 
 class TorchVgg19:
-    """Six-tap VGG19 feature extractor from an HWIO numpy param dict."""
+    """Six-tap VGG19 feature extractor from an HWIO numpy param dict.
 
-    def __init__(self, params: Dict[str, Dict[str, np.ndarray]], device="cpu"):
+    use_relu=False taps the conv outputs pre-ReLU ("as in the original
+    paper", reference neural_nets.py:10,17-25); conv4_2 is pre-ReLU either
+    way.
+    """
+
+    def __init__(self, params: Dict[str, Dict[str, np.ndarray]], device="cpu",
+                 use_relu: bool = True):
+        self.use_relu = use_relu
         self.device = torch.device(device)
         self.weights = {}
         for name in CONV_NAMES:
@@ -57,8 +64,14 @@ class TorchVgg19:
             h = F.conv2d(h, w, b, stride=1, padding=1)
             if name == "conv4_2":
                 taps["conv4_2"] = h
+            if not self.use_relu and name in (
+                    "conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"):
+                taps[{"conv1_1": "relu1_1", "conv2_1": "relu2_1",
+                      "conv3_1": "relu3_1", "conv4_1": "relu4_1",
+                      "conv5_1": "relu5_1"}[name]] = h
             h = F.relu(h)
-            if name in ("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"):
+            if self.use_relu and name in (
+                    "conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"):
                 taps[{"conv1_1": "relu1_1", "conv2_1": "relu2_1",
                       "conv3_1": "relu3_1", "conv4_1": "relu4_1",
                       "conv5_1": "relu5_1"}[name]] = h

@@ -30,6 +30,11 @@ class Config:
     optimizer: str = "lbfgs"            # 'lbfgs' | 'adam'
     model: str = "vgg19"                # 'vgg19'
     init_method: str = "content+noise"  # 'random' | 'content+noise' | 'style'
+    use_relu: bool = True               # True: post-ReLU taps (reference
+                                        # default); False: pre-ReLU conv taps
+                                        # "as in the original paper"
+                                        # (reference neural_nets.py:10,17-25).
+                                        # conv4_2 is pre-ReLU either way.
 
     # --- pyramid / iteration counts (reference config.py:12-13) ---
     levels_num: int = 2                 # 4 for maximum resolution

@@ -89,6 +89,7 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
             def level_pass(params, cur, lvl=lvl):
                 feats = extract_features(params, cur, cfg.compute_dtype,
                                           cfg.conv_precision,
+                                          use_relu=cfg.use_relu,
                                           pool_impl=cfg.pool_impl)
                 t_content, t_grams = targets[lvl]
                 return level_loss(
@@ -118,9 +119,11 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
     for c_img, s_img in zip(content_levels_pre, style_levels_pre):
         c_feats = extract_features(params, c_img, cfg.compute_dtype,
                                    cfg.conv_precision,
+                                   use_relu=cfg.use_relu,
                                    pool_impl=cfg.pool_impl)
         s_feats = extract_features(params, s_img, cfg.compute_dtype,
                                    cfg.conv_precision,
+                                   use_relu=cfg.use_relu,
                                    pool_impl=cfg.pool_impl)
         # targets are computed once and kept f32 regardless of compute dtype
         t_content = c_feats[CONTENT_INDEX].astype(jnp.float32)
@@ -152,7 +155,7 @@ class Runners(NamedTuple):
 def _config_key(cfg: Config, level_shapes) -> tuple:
     return (tuple(level_shapes), cfg.content_weight, cfg.style_weight,
             cfg.tv_weight, cfg.optimizer, cfg.compute_dtype,
-            cfg.conv_precision,
+            cfg.conv_precision, cfg.use_relu,
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
             cfg.lr_decay_per_eval,
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels,

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=["lbfgs", "adam"], default=None)
     p.add_argument("--init-method",
                    choices=["random", "content+noise", "style"], default=None)
+    p.add_argument("--use-relu", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="post-ReLU feature taps (reference default); "
+                        "--no-use-relu selects the pre-ReLU conv taps 'as in "
+                        "the original paper' (reference neural_nets.py:10)")
     p.add_argument("--levels", type=int, default=None,
                    help=f"pyramid levels (default {d.levels_num})")
     p.add_argument("--iters", type=int, default=None,
@@ -120,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose-losses", action="store_true",
                    help="print per-level loss components at each progress "
                         "update (reference-style loss table)")
+    p.add_argument("--metrics", default=None, metavar="PATH",
+                   help="append per-chunk JSONL metrics (step, loss, "
+                        "steps/s) to PATH — the structured replacement for "
+                        "the reference's per-iteration prints")
+    p.add_argument("--profile-trace", default=None, metavar="DIR",
+                   help="write a jax.profiler (TensorBoard XPlane) trace "
+                        "of the optimization to DIR")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -129,6 +141,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     overrides = {}
     mapping = {
         "optimizer": "optimizer", "init_method": "init_method",
+        "use_relu": "use_relu",
         "levels": "levels_num", "iters": "iters_num",
         "content_weight": "content_weight", "style_weight": "style_weight",
         "tv_weight": "tv_weight", "noise_factor": "noise_factor",
@@ -170,19 +183,28 @@ def run_job_checkpointed(args: argparse.Namespace, cfg: Config) -> np.ndarray:
     job = TransferJob(load_image(args.content), load_image(args.style),
                       cfg, params=params)
     img = None
-    for done, img, loss in job.run(checkpoint_path=args.checkpoint,
-                                   checkpoint_every=args.checkpoint_every
-                                   or cfg.stream_every,
-                                   resume=args.resume,
-                                   report_level_losses=args.verbose_losses):
-        if not args.quiet:
-            print(f"step {done}/{cfg.iters_num} loss {loss:.4e}")
-            if args.verbose_losses and job.last_level_losses:
-                for i, (lt, lc, ls, ltv) in enumerate(job.last_level_losses):
-                    print(f" - level {i} | level loss={lt:.3e}, "
-                          f"content_loss={cfg.content_weight * lc:.3e}, "
-                          f"style loss={cfg.style_weight * ls:.3e}, "
-                          f"tv loss={cfg.tv_weight * ltv:.3e}")
+    from ..utils.metrics import MetricsLogger, Throughput
+
+    with MetricsLogger(args.metrics) as metrics:
+        tp = Throughput()
+        for done, img, loss in job.run(
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every or cfg.stream_every,
+                resume=args.resume,
+                report_level_losses=args.verbose_losses):
+            sps = tp.tick(done)
+            metrics.log("chunk", step=done, loss=float(loss),
+                        steps_per_sec=round(sps, 4) if sps else None,
+                        percent=done / cfg.iters_num * 100.0)
+            if not args.quiet:
+                print(f"step {done}/{cfg.iters_num} loss {loss:.4e}")
+                if args.verbose_losses and job.last_level_losses:
+                    for i, (lt, lc, ls, ltv) in enumerate(
+                            job.last_level_losses):
+                        print(f" - level {i} | level loss={lt:.3e}, "
+                              f"content_loss={cfg.content_weight * lc:.3e}, "
+                              f"style loss={cfg.style_weight * ls:.3e}, "
+                              f"tv loss={cfg.tv_weight * ltv:.3e}")
     return img
 
 
@@ -209,13 +231,16 @@ async def run_job(args: argparse.Namespace, cfg: Config) -> np.ndarray:
     from functools import partial
 
     from ..engine.transfer import neural_style_transfer
+    from ..utils.metrics import MetricsLogger
 
     engine = partial(neural_style_transfer, params=params, config=cfg)
-    executor = Executor(cfg, report_progress=report, engine=engine,
-                        verbose=not args.quiet)
-    pair = ContentStylePair((args.content, content), (args.style, style))
-    await executor.add_task(str(uuid.uuid4()), pair)
-    await executor.run()
+    with MetricsLogger(args.metrics) as metrics:
+        executor = Executor(cfg, report_progress=report, engine=engine,
+                            verbose=not args.quiet,
+                            metrics=metrics if args.metrics else None)
+        pair = ContentStylePair((args.content, content), (args.style, style))
+        await executor.add_task(str(uuid.uuid4()), pair)
+        await executor.run()
     return latest.get("img")
 
 
@@ -230,11 +255,14 @@ def main(argv=None) -> int:
         print(f"config: optimizer={cfg.optimizer} levels={cfg.levels_num} "
               f"iters={cfg.iters_num} init={cfg.init_method} "
               f"base={cfg.base_diameter}")
+    from ..utils.metrics import profile_trace
+
     t0 = time.time()
-    if args.checkpoint or args.verbose_losses:
-        img = run_job_checkpointed(args, cfg)
-    else:
-        img = asyncio.run(run_job(args, cfg))
+    with profile_trace(args.profile_trace):
+        if args.checkpoint or args.verbose_losses:
+            img = run_job_checkpointed(args, cfg)
+        else:
+            img = asyncio.run(run_job(args, cfg))
     if img is None:
         print("No output produced", file=sys.stderr)
         return 1

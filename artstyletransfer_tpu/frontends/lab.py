@@ -65,7 +65,8 @@ def default_data_dir() -> str:
 def create_app(config=None, data_dir: str = None, pairs=None,
                autostart: bool = True, engine=None,
                batched: bool = False,
-               results_dir: str = None) -> web.Application:
+               results_dir: str = None,
+               metrics_path: str = None) -> web.Application:
     """Build the lab application. `engine`/`pairs` are injectable for tests.
 
     batched=True replaces the reference's 2-at-a-time semaphore scheduling
@@ -79,7 +80,13 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         "ASTT_RESULTS_DIR", os.path.join(data_dir, "..", "results"))
     pairs = pairs if pairs is not None else CONTENT_STYLE_FILENAME_PAIRS
 
-    executor = Executor(config, engine=engine, verbose=False)
+    metrics = None
+    if metrics_path:
+        from ..utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(metrics_path)
+    executor = Executor(config, engine=engine, verbose=False,
+                        metrics=metrics)
     env = jinja2.Environment(
         loader=jinja2.FileSystemLoader(_TEMPLATE_DIR), autoescape=True)
 
@@ -112,6 +119,10 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         def report(tid, pct, img, loss):
             asyncio.run_coroutine_threadsafe(
                 executor.set_progress(tid, (pct, img)), loop).result()
+            if metrics is not None:
+                # the batched queue bypasses Executor.__report, so emit the
+                # structured progress event here (with the real loss)
+                metrics.log("progress", task=tid, percent=pct, loss=loss)
 
         _results, failures = await loop.run_in_executor(
             None, lambda: run_job_queue(jobs, config, progress=report,
@@ -259,6 +270,9 @@ def main(argv=None) -> int:
                         default=None,
                         help="conv compute dtype; default: production "
                              "precision for the platform (bfloat16 on TPU)")
+    parser.add_argument("--metrics", default=None, metavar="PATH",
+                        help="append structured per-progress JSONL metrics "
+                             "to PATH")
     args = parser.parse_args(argv)
     cfg = PRESETS[args.preset]
     if args.compute_dtype is not None:
@@ -266,7 +280,8 @@ def main(argv=None) -> int:
     else:
         cfg = production_config(cfg)
     app = create_app(config=cfg, data_dir=args.data_dir,
-                     autostart=not args.no_autostart, batched=args.batched)
+                     autostart=not args.no_autostart, batched=args.batched,
+                     metrics_path=args.metrics)
     web.run_app(app, host=args.host, port=args.port)
     return 0
 

@@ -120,7 +120,7 @@ class StyleTransferBot:
     """Handler logic, transport-agnostic (testable with a fake client)."""
 
     def __init__(self, client, config: Optional[Config] = None, engine=None,
-                 canonicalize: bool = False):
+                 canonicalize: bool = False, metrics=None):
         self.client = client
         self.config = config or Config()
         # canonicalize=True crops/resizes incoming photos to the canonical
@@ -133,7 +133,8 @@ class StyleTransferBot:
         self.table_lock = asyncio.Lock()
         self.executor = Executor(self.config,
                                  report_progress=self.task_progress_callback,
-                                 engine=engine, verbose=False)
+                                 engine=engine, verbose=False,
+                                 metrics=metrics)
         self._pending_albums: Dict[str, List[dict]] = {}
         self._album_timers: Dict[str, asyncio.TimerHandle] = {}
 
@@ -295,6 +296,9 @@ def main(argv=None) -> int:
                         default=None,
                         help="conv compute dtype; default: production "
                              "precision for the platform (bfloat16 on TPU)")
+    parser.add_argument("--metrics", default=None, metavar="PATH",
+                        help="append structured per-progress JSONL metrics "
+                             "to PATH")
     args = parser.parse_args(argv)
     if not args.token:
         print("Set ASTT_TELEGRAM_TOKEN or pass --token "
@@ -311,8 +315,14 @@ def main(argv=None) -> int:
         from ..engine.warmup import warmup_aspect_buckets
 
         warmup_aspect_buckets(cfg)
+    metrics = None
+    if args.metrics:
+        from ..utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(args.metrics)
     bot = StyleTransferBot(TelegramClient(args.token), cfg,
-                           canonicalize=args.canonicalize or args.warmup)
+                           canonicalize=args.canonicalize or args.warmup,
+                           metrics=metrics)
     asyncio.run(bot.run_polling())
     return 0
 

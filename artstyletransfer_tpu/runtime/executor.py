@@ -31,22 +31,29 @@ from .. import config as config_mod
 from ..engine.transfer import ContentStylePair, neural_style_transfer
 
 _semaphore: Optional[asyncio.Semaphore] = None
+_semaphore_loop: Optional[asyncio.AbstractEventLoop] = None
 
 
 def _get_semaphore() -> asyncio.Semaphore:
     """Global concurrency cap (reference task_executor.py:9), created lazily
-    so it binds to the running event loop."""
-    global _semaphore
-    if _semaphore is None:
+    and re-bound whenever the running event loop changes: a semaphore created
+    under one `asyncio.run()` holds waiters from that (dead) loop, so a
+    second run in the same process (CLI invoked twice programmatically, lab
+    after a CLI warmup) must get a fresh one."""
+    global _semaphore, _semaphore_loop
+    loop = asyncio.get_running_loop()
+    if _semaphore is None or _semaphore_loop is not loop:
         _semaphore = asyncio.Semaphore(config_mod.simultaneous_tasks_count)
+        _semaphore_loop = loop
     return _semaphore
 
 
 def reset_semaphore() -> None:
-    """Recreate the global semaphore (e.g. after changing the cap, or a new
-    event loop in tests)."""
-    global _semaphore
+    """Recreate the global semaphore (e.g. after changing the cap; a new
+    event loop re-binds automatically)."""
+    global _semaphore, _semaphore_loop
     _semaphore = None
+    _semaphore_loop = None
 
 
 class Task:
@@ -98,7 +105,7 @@ class Executor:
     (reference task_executor.py:45-129)."""
 
     def __init__(self, config, report_progress=None, engine=None,
-                 verbose: bool = True):
+                 verbose: bool = True, metrics=None):
         self.__tasks: Dict[str, Task] = {}
         self.__progress: Dict[str, tuple] = {}
         self.__config = config
@@ -108,6 +115,11 @@ class Executor:
         self.__engine = engine
         self.__verbose = verbose
         self.failures: Dict[str, BaseException] = {}
+        # optional utils.metrics.MetricsLogger: structured per-progress JSONL
+        # events (the TPU replacement for the reference's per-iteration
+        # prints, reference neural_style_transfer.py:159,189,196)
+        self.metrics = metrics
+        self.__throughput: Dict[str, object] = {}
 
     async def get_progress(self, key):
         async with self.__progress_lock:
@@ -135,9 +147,30 @@ class Executor:
             print(f"Progress: {task_id}, {p[0]}")
         print()
 
+    def _log_metric(self, event: str, task_id: str, percent=None):
+        if self.metrics is None:
+            return
+        fields = {"task": task_id}
+        if event == "task_added":
+            from ..utils.metrics import Throughput
+
+            # baseline tick at step 0: the first progress interval (the
+            # compile-bearing chunk) then becomes Throughput's skipped one
+            self.__throughput[task_id] = Throughput()
+            self.__throughput[task_id].tick(0)
+        if percent is not None and percent >= 0:
+            fields["percent"] = percent
+            tp = self.__throughput.get(task_id)
+            if tp is not None:
+                sps = tp.tick(percent / 100.0 * self.__config.iters_num)
+                if sps is not None:
+                    fields["steps_per_sec"] = round(sps, 4)
+        self.metrics.log(event, **fields)
+
     async def __report(self, task_id, result):
         await self.set_progress(task_id, result)
         await self.__print_progress()
+        self._log_metric("progress", task_id, percent=result[0])
         if self.__report_progress is not None:
             await self.__report_progress(task_id, result)
 
@@ -146,12 +179,17 @@ class Executor:
             if error is not None:
                 self.failures[task_id] = error
                 print(f"Task {task_id} FAILED: {type(error).__name__}: {error}")
-            elif self.__verbose:
-                print(f"Task {task_id} done")
+                self._log_metric("task_failed", task_id)
+            else:
+                if self.__verbose:
+                    print(f"Task {task_id} done")
+                self._log_metric("task_done", task_id)
+            self.__throughput.pop(task_id, None)
             self.__tasks.pop(task_id)
 
     async def add_task(self, task_id: str, content_n_style: ContentStylePair):
         await self.set_progress(task_id, (-1, None))
+        self._log_metric("task_added", task_id)
         async with self.__tasks_lock:
             self.__tasks[task_id] = Task(
                 content_n_style, self.__config, task_id=task_id,

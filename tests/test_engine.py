@@ -70,6 +70,33 @@ def test_loss_parity_with_torch_twin(images, vgg_params):
     assert len(ours_levels) == 2
 
 
+def test_loss_parity_pre_relu_taps(images, vgg_params):
+    """use_relu=False (pre-ReLU conv taps, reference neural_nets.py:10) must
+    match the torch twin end-to-end through the pyramid loss, and differ
+    from the post-ReLU loss."""
+    content, style = images
+    cfg = Config(levels_num=2, base_diameter=16, use_relu=False)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+
+    c_lvls, s_lvls = build_input_pyramids(content, style, 2, 16)
+    to_nchw = lambda a: np.transpose(prepare_img(a), (0, 3, 1, 2))  # noqa
+    tw = TorchPyramidLoss(TorchVgg19(vgg_params, use_relu=False),
+                          [to_nchw(c) for c in c_lvls],
+                          [to_nchw(s) for s in s_lvls],
+                          cfg.content_weight, cfg.style_weight, cfg.tv_weight)
+
+    probe = c_lvls[0] * 0.5 + 0.25
+    ours_total, _ = job.loss_report(probe)
+    theirs = float(tw.total_loss(torch.from_numpy(to_nchw(probe))))
+    np.testing.assert_allclose(ours_total, theirs, rtol=2e-3)
+
+    relu_job = TransferJob(content, style,
+                           Config(levels_num=2, base_diameter=16),
+                           params=vgg_params)
+    relu_total, _ = relu_job.loss_report(probe)
+    assert not np.isclose(ours_total, relu_total, rtol=1e-3)
+
+
 def test_lbfgs_minimizes_quadratic():
     """Strong-Wolfe L-BFGS drives a convex quadratic to its optimum."""
     rng = np.random.default_rng(3)

@@ -372,3 +372,83 @@ def test_bot_canonicalize_buckets_album_shapes():
                for a in DEFAULT_ASPECT_BUCKETS}
     assert seen["content"] in buckets
     assert seen["style"] == (16, 16, 3)
+
+
+def test_cli_metrics_jsonl(tmp_path):
+    """`astt --metrics PATH` emits per-chunk JSONL (step, loss, steps/s) —
+    the wired replacement for the reference's per-iteration prints
+    (reference neural_style_transfer.py:159,189,196)."""
+    import json
+
+    from artstyletransfer_tpu.frontends.cli import main as cli_main
+
+    _write_demo_images(tmp_path)
+    mpath = tmp_path / "metrics.jsonl"
+    rc = cli_main([
+        "--content", str(tmp_path / "content-images" / "c.jpg"),
+        "--style", str(tmp_path / "style-images" / "s.jpg"),
+        "--output", str(tmp_path / "out.jpg"),
+        "--levels", "1", "--iters", "4", "--base-diameter", "16",
+        "--stream-every", "2", "--optimizer", "adam", "--quiet",
+        "--metrics", str(mpath)])
+    assert rc == 0 and mpath.exists()
+    events = [json.loads(line) for line in mpath.read_text().splitlines()]
+    kinds = [e["event"] for e in events]
+    assert "task_added" in kinds and "task_done" in kinds
+    progress = [e for e in events if e["event"] == "progress"]
+    assert len(progress) == 2  # 4 iters / stream_every 2
+    assert progress[-1]["percent"] == 100.0
+    assert all("t" in e and "task" in e for e in progress)
+    # the second chunk's interval is measured (first is compile-bearing)
+    assert "steps_per_sec" in progress[-1]
+
+
+def test_cli_metrics_checkpointed_path(tmp_path):
+    """The direct TransferJob CLI path (--verbose-losses) logs chunk events
+    with losses."""
+    import json
+
+    from artstyletransfer_tpu.frontends.cli import main as cli_main
+
+    _write_demo_images(tmp_path)
+    mpath = tmp_path / "metrics.jsonl"
+    rc = cli_main([
+        "--content", str(tmp_path / "content-images" / "c.jpg"),
+        "--style", str(tmp_path / "style-images" / "s.jpg"),
+        "--output", str(tmp_path / "out.jpg"),
+        "--levels", "1", "--iters", "4", "--base-diameter", "16",
+        "--stream-every", "2", "--optimizer", "adam", "--quiet",
+        "--verbose-losses", "--metrics", str(mpath)])
+    assert rc == 0
+    events = [json.loads(line) for line in mpath.read_text().splitlines()]
+    chunks = [e for e in events if e["event"] == "chunk"]
+    assert [e["step"] for e in chunks] == [2, 4]
+    assert all(np.isfinite(e["loss"]) for e in chunks)
+
+
+def test_lab_metrics_jsonl(tmp_path):
+    """The lab writes structured progress events when metrics_path is set."""
+    import json
+
+    _write_demo_images(tmp_path)
+    mpath = tmp_path / "lab_metrics.jsonl"
+    app = create_app(config=Config(iters_num=2), data_dir=str(tmp_path),
+                     pairs=[("c.jpg", "s.jpg")], engine=fake_engine,
+                     metrics_path=str(mpath))
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for _ in range(100):
+                await asyncio.sleep(0.05)
+                ids = await app["executor"].task_ids()
+                if ids and (await app["executor"].get_progress(ids[0]))[0] >= 100:
+                    break
+        finally:
+            await client.close()
+
+    asyncio.run(go())
+    events = [json.loads(line) for line in mpath.read_text().splitlines()]
+    assert any(e["event"] == "progress" and e["percent"] == 100.0
+               for e in events)

@@ -66,6 +66,25 @@ def test_cli_config_resolution():
     assert cfg.iters_num == 42 and cfg.optimizer == "adam"
 
 
+def test_cli_no_use_relu_flag():
+    parser = build_parser()
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o", "--no-use-relu"])
+    assert config_from_args(args).use_relu is False
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o"])
+    assert config_from_args(args).use_relu is True
+
+
+def test_use_relu_in_config_key():
+    """use_relu changes the traced graph, so it must key the compile cache."""
+    from artstyletransfer_tpu.engine.transfer import _config_key
+
+    shapes = ((1, 16, 16, 3),)
+    assert (_config_key(Config(use_relu=False), shapes)
+            != _config_key(Config(), shapes))
+
+
 def test_cli_defaults_match_reference():
     parser = build_parser()
     args = parser.parse_args(["--content", "c", "--style", "s",
