@@ -127,3 +127,27 @@ def test_representation_builder_polymorphism(images, vgg_params):
     np.testing.assert_array_equal(np.asarray(single), np.asarray(multi[0]))
     grams = rb.build_style(list(STYLE_INDICES))
     assert len(grams) == 5
+
+
+def test_perceptual_psnr_ssim():
+    """SSIM/PSNR sanity: identity -> 1.0/inf; noise degrades both; SSIM
+    penalizes structural change more than a constant luminance shift."""
+    from artstyletransfer_tpu.utils.perceptual import psnr, ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 48, 3)).astype(np.float64)
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-9)
+    assert psnr(img, img) == float("inf")
+
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    s_noise = ssim(img, noisy)
+    assert 0.0 < s_noise < 0.9
+    assert 5.0 < psnr(img, noisy) < 25.0
+
+    shifted = np.clip(img + 0.05, 0, 1)
+    assert ssim(img, shifted) > s_noise  # structure preserved
+
+    with pytest.raises(ValueError):
+        ssim(img, img[:16])
+    with pytest.raises(ValueError):
+        ssim(img[:8, :8], img[:8, :8])  # smaller than the window

@@ -108,3 +108,33 @@ def test_real_weight_trajectory_perceptual_parity(real_params, real_images):
     mse = float(np.mean((ours - theirs) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 40.0, f"real-weights trajectory diverged: {psnr:.1f} dB"
+
+
+def test_visual_parity_harness_scores_goldens(real_params, tmp_path):
+    """One-command visual identity check (scripts/visual_parity.py): with
+    real weights, a short bird+VanGogh level-1 run must regenerate a figure
+    that scores against the bundled reference golden, and the report JSON
+    must be written. Uses few iterations to stay CI-sized; the full
+    500-iteration README regeneration is the same command without --iters."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "scripts"))
+    import visual_parity
+
+    if not os.path.exists(visual_parity.REF_IMG):
+        pytest.skip("reference goldens unavailable")
+    rc = visual_parity.main([
+        "--pairs", "bird_vg", "--levels", "1", "--iters", "30",
+        "--out", str(tmp_path)])
+    assert rc == 0
+    import json
+
+    report = json.load(open(tmp_path / "report.json"))
+    assert len(report) == 1
+    row = report[0]
+    assert row["pair"] == "bird_vg" and row["level"] == 1
+    # 30 iterations is far from converged; require sane metric values, not
+    # final-quality thresholds (the 500-iter run is the real check)
+    assert 0.0 < row["ssim"] <= 1.0 and row["psnr_db"] > 5.0
+    assert os.path.exists(row["ours"])
