@@ -73,6 +73,13 @@ class Config:
                                         # (a real strong-Wolfe search, what
                                         # torch runs when max_eval allows)
                                         # converges far faster per step.
+    lbfgs_direction: str = "matrix"     # two-loop lowering: 'matrix'
+                                        # (MXU-batched Gram contractions;
+                                        # measured 83.7 -> ~13 ms at
+                                        # history=100/n=4.7M) | 'loop'
+                                        # (textbook recursion, torch's
+                                        # form). Identical math — see
+                                        # engine/lbfgs.py.
 
     # --- TPU-native knobs (no reference counterpart) ---
     base_diameter: int = 256            # level-0 shortest side

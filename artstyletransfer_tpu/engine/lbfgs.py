@@ -72,8 +72,14 @@ def init_state(loss_grad: LossGradFn, x: jax.Array, history: int) -> LbfgsState:
     )
 
 
-def _two_loop_direction(g: jax.Array, state: LbfgsState) -> jax.Array:
-    """d = -H_k g via the two-loop recursion over the circular history."""
+def _two_loop_direction_loop(g: jax.Array, state: LbfgsState) -> jax.Array:
+    """d = -H_k g via the textbook two-loop recursion over the history.
+
+    2m sequential GEMV/axpy iterations over the (m, n) buffers — measured
+    LATENCY-bound on TPU at production sizes (83.7 ms at m=100,
+    n=4.7M where the pure-bandwidth cost is ~8 ms; scripts/exp_lbfgs1024.py,
+    PARITY.md). Kept as the reference implementation and for tiny
+    histories; production uses the matrix form below."""
     m = state.s_hist.shape[0]
     k = jnp.minimum(state.count, m)
 
@@ -104,6 +110,98 @@ def _two_loop_direction(g: jax.Array, state: LbfgsState) -> jax.Array:
 
     r = lax.fori_loop(0, m, second_loop, r)
     return -r
+
+
+def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
+    """d = -H_k g via the matrix form of the two-loop recursion.
+
+    Mathematically identical to the textbook recursion, reorganized for the
+    MXU (the compact-representation idea of Byrd, Nocedal & Schnabel 1994):
+    every contraction against the big (m, n) history buffers becomes one
+    batched matmul, and the inherently sequential part of the recursion
+    runs over m-sized scalars only.
+
+      P = S [Yᵀ | g]  -> the m x m Gram S Yᵀ and u = S g   (one matmul)
+      Q = Y [Yᵀ | g]  -> the m x m Gram Y Yᵀ and v = Y g   (one matmul)
+      alpha recursion (newest->oldest):
+        a_j = rho_j (u_j - sum_{i newer} a_i (S Yᵀ)[j,i])
+      beta recursion (oldest->newest), using Yᵀ q = v - (Y Yᵀ) a:
+        b_j = rho_j (gamma (v - B a)_j + sum_{i older processed} (a_i - b_i)
+              (S Yᵀ)[i,j])
+      r = gamma (g - aᵀ Y) + (a - b)ᵀ S                     (one matmul)
+
+    Cost at m=100, n=4.7M: three ~(m, n) matmuls = ~9.5 GB of HBM traffic
+    (~10 ms at the chip's streamed bandwidth) + an O(m^2) on-chip
+    recurrence, vs 2m round-trip-latency-bound iterations for the loop
+    form (measured 83.7 -> ~13 ms, scripts/exp_lbfgs1024.py). All
+    contractions run at precision=HIGHEST to match the f32 vector dots of
+    the loop form."""
+    m = state.s_hist.shape[0]
+    S, Y = state.s_hist, state.y_hist
+    cnt = state.count
+    k = jnp.minimum(cnt, m)
+    dtype = g.dtype
+
+    # age order: position 0 = newest stored pair
+    ages = jnp.arange(m, dtype=jnp.int32)
+    ix = jnp.mod(cnt - 1 - ages, m)            # age -> buffer index
+    valid = (ages < k).astype(dtype)           # (m,)
+
+    hi = jax.lax.Precision.HIGHEST
+    # Gram matrices + projections of g. NO concatenation with the (m, n)
+    # buffers: a concat materializes a fresh multi-GB copy of the history
+    # (measured RESOURCE_EXHAUSTED at m=100, n=4.7M on a 16 GB chip);
+    # separate contractions stream the buffers without copying them.
+    P = jnp.einsum("mn,kn->mk", S, Y, precision=hi)    # S Yᵀ
+    Q = jnp.einsum("mn,kn->mk", Y, Y, precision=hi)    # Y Yᵀ
+    A_sy = P[ix][:, ix]                        # (m, m) age-ordered S Yᵀ
+    B_yy = Q[ix][:, ix]                        # (m, m) age-ordered Y Yᵀ
+    u = (S @ g)[ix] * valid                    # (m,) s̃_jᵀ g
+    v = (Y @ g)[ix] * valid                    # (m,) ỹ_jᵀ g
+    rho_t = state.rho[ix] * valid
+
+    # alpha recursion: a_j depends on strictly newer (smaller-age) a_i
+    def alpha_body(j, a):
+        aj = rho_t[j] * (u[j] - jnp.dot(A_sy[j] * (ages < j), a))
+        return a.at[j].set(aj)
+
+    alpha = lax.fori_loop(0, m, alpha_body, jnp.zeros((m,), dtype))
+
+    # gamma = (s_newᵀ y_new) / (y_newᵀ y_new), diag entries of the Grams
+    gamma = jnp.where(cnt > 0,
+                      A_sy[0, 0] / jnp.maximum(B_yy[0, 0], 1e-20), 1.0)
+
+    # beta recursion, oldest -> newest; ỹ_jᵀ q = (v - B a)_j
+    yq = (v - B_yy @ alpha) * valid
+
+    def beta_body(i, b):
+        j = m - 1 - i                          # age j from oldest to newest
+        older = ages > j                       # already-processed entries
+        bj = rho_t[j] * (gamma * yq[j]
+                         + jnp.dot(A_sy[:, j] * older, alpha - b))
+        return b.at[j].set(bj)
+
+    beta = lax.fori_loop(0, m, beta_body, jnp.zeros((m,), dtype))
+
+    # r = gamma (g - alphaᵀ Y) + (alpha - beta)ᵀ S; alpha/beta live in age
+    # order — scatter the coefficients back to the buffers' storage order
+    # (m-sized scatter; the (m, n) rows stay put, no concat/copy)
+    coef_s = jnp.zeros((m,), dtype).at[ix].set((alpha - beta) * valid)
+    coef_y = jnp.zeros((m,), dtype).at[ix].set(-gamma * alpha * valid)
+    r = (gamma * g
+         + jnp.einsum("m,mn->n", coef_s, S, precision=hi)
+         + jnp.einsum("m,mn->n", coef_y, Y, precision=hi))
+    return -r
+
+
+def _two_loop_direction(g: jax.Array, state: LbfgsState,
+                        impl: str = "matrix") -> jax.Array:
+    """d = -H_k g over the circular history; impl selects the lowering
+    ('matrix' = MXU-batched contractions, 'loop' = textbook recursion —
+    identical math, see the per-impl docstrings)."""
+    if impl == "loop":
+        return _two_loop_direction_loop(g, state)
+    return _two_loop_direction_matrix(g, state)
 
 
 def _cubic_interpolate(x1, f1, g1, x2, f2, g2, bmin, bmax):
@@ -310,19 +408,22 @@ def _strong_wolfe(loss_grad: LossGradFn, x: jax.Array, d: jax.Array,
 
 
 def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
-               lr: jax.Array, max_ls_steps: int = 25
+               lr: jax.Array, max_ls_steps: int = 25,
+               direction_impl: str = "matrix"
                ) -> Tuple[jax.Array, LbfgsState]:
     """One L-BFGS iteration (direction + strong-Wolfe search + history update).
 
     x: flattened parameter vector. state.f/state.g must hold the loss and
     gradient at x (maintained across calls). Equivalent to one
     torch LBFGS(max_iter=1, strong_wolfe).step() of the reference.
+    direction_impl: 'matrix' (MXU-batched two-loop, production) or 'loop'
+    (textbook recursion) — identical math, see _two_loop_direction.
     """
     m = state.s_hist.shape[0]
     g0 = state.g
     f0 = state.f
 
-    d = _two_loop_direction(g0, state)
+    d = _two_loop_direction(g0, state, impl=direction_impl)
     dphi0 = jnp.dot(g0, d)
     # fall back to steepest descent on a non-descent direction
     bad = dphi0 >= 0.0

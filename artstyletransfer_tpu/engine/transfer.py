@@ -158,7 +158,8 @@ def _config_key(cfg: Config, level_shapes) -> tuple:
             cfg.conv_precision, cfg.use_relu,
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
             cfg.lr_decay_per_eval,
-            cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.remat_levels,
+            cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.lbfgs_direction,
+            cfg.remat_levels,
             cfg.pool_impl, cfg.use_pallas and _on_tpu(),
             cfg.fused_style_bwd)
 
@@ -245,7 +246,8 @@ def _build_runners(cfg: Config, level_shapes):
                 lr = lr_at(step)
             x, opt_state = lbfgs_mod.lbfgs_step(
                 lg, x, opt_state, lr,
-                max_ls_steps=cfg.lbfgs_max_ls_steps)
+                max_ls_steps=cfg.lbfgs_max_ls_steps,
+                direction_impl=cfg.lbfgs_direction)
             return x, opt_state, opt_state.f
 
     else:

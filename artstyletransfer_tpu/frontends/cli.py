@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lbfgs-max-ls-steps", type=int, default=None,
                    help="strong-Wolfe line-search eval budget per step "
                         f"(default {d.lbfgs_max_ls_steps})")
+    p.add_argument("--lbfgs-direction", choices=["matrix", "loop"],
+                   default=None,
+                   help="two-loop recursion lowering (matrix = MXU-batched "
+                        "Gram contractions, ~6x faster at history=100; "
+                        "loop = textbook form; identical math)")
     p.add_argument("--lr-start", type=float, default=None,
                    help=f"initial learning rate (default {d.lr_start})")
     p.add_argument("--lr-decay", type=float, default=None,
@@ -151,6 +156,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "use_pallas": "use_pallas", "remat_levels": "remat_levels",
         "nan_checks": "nan_checks", "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
+        "lbfgs_direction": "lbfgs_direction",
         "lr_start": "lr_start", "lr_decay": "lr_decay",
         "lr_decay_per_eval": "lr_decay_per_eval",
         "seed": "seed", "demo_normal_noise": "demo_normal_noise",

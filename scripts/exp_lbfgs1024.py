@@ -156,21 +156,33 @@ def main(argv):
 
     if "twoloop" in want:
         for m in (100, 10):
-            s_hist, y_hist, rho, g = full_history(x0, m)
+            for impl in ("loop", "matrix"):
+                s_hist, y_hist, rho, g = full_history(x0, m)
 
-            def body(carry, m=m):
-                g, s_hist, y_hist, rho = carry
-                st = L.LbfgsState(
-                    s_hist=s_hist, y_hist=y_hist, rho=rho,
-                    count=jnp.int32(m), f=jnp.float32(1.0), g=g,
-                    n_evals=jnp.int32(m), n_iter=jnp.int32(m))
-                d = L._two_loop_direction(g, st)
-                return (g + 1e-7 * d, s_hist, y_hist, rho)
+                def body(carry, m=m, impl=impl):
+                    g, s_hist, y_hist, rho = carry
+                    st = L.LbfgsState(
+                        s_hist=s_hist, y_hist=y_hist, rho=rho,
+                        count=jnp.int32(m), f=jnp.float32(1.0), g=g,
+                        n_evals=jnp.int32(m), n_iter=jnp.int32(m))
+                    d = L._two_loop_direction(g, st, impl=impl)
+                    # NOTE: s/y_hist are loop-invariant here, so XLA hoists
+                    # the matrix form's Gram contractions out of the timing
+                    # loop — the matrix row therefore measures only the
+                    # per-g work (GEMVs + recurrences + recombination).
+                    # Perturbing the buffers to defeat hoisting doubles the
+                    # live history copies and OOMs at m=100; the step_*
+                    # variants are the authoritative comparison (real steps
+                    # update the history, nothing is hoistable).
+                    return (g + 1e-7 * d, s_hist, y_hist, rho)
 
-            ms, _ = time_loop(f"twoloop_h{m}", body,
-                              (g, s_hist, y_hist, rho))
-            results[f"twoloop_h{m}_ms"] = ms
-            del s_hist, y_hist, rho, g
+                # matrix per-iter cost can sit below the tunnel's ~±0.3s
+                # dispatch noise at 25 trips; use longer loops for it
+                n_hi = 125 if impl == "matrix" else N_HI
+                ms, _ = time_loop(f"twoloop_{impl}_h{m}", body,
+                                  (g, s_hist, y_hist, rho), n_hi=n_hi)
+                results[f"twoloop_{impl}_h{m}_ms"] = ms
+                del s_hist, y_hist, rho, g
 
     if "histupd" in want:
         m = 100
@@ -218,22 +230,27 @@ def main(argv):
     # full-step variants (expensive compiles; request explicitly)
     step_variants = {
         "step_f32h100": dict(),
+        "step_f32h100mat": dict(impl="matrix"),
         "step_f32h10": dict(history=10),
         "step_bf16h100": dict(compute_dtype="bfloat16"),
+        "step_bf16h100mat": dict(compute_dtype="bfloat16", impl="matrix"),
         "step_bf16h10": dict(compute_dtype="bfloat16", history=10),
         "step_ref": dict(max_ls=0),
+        "step_refmat": dict(max_ls=0, impl="matrix"),
     }
     for name, kw in step_variants.items():
         if name not in want:
             continue
+        kw = dict(kw)
+        impl = kw.pop("impl", "loop")
         cfg_v, lg, params_v, targets_v, x0v = setup(**kw)
         lr = jnp.float32(cfg_v.lr_start)
         max_ls = cfg_v.lbfgs_max_ls_steps
 
-        def body(carry, lg=lg, lr=lr, max_ls=max_ls):
+        def body(carry, lg=lg, lr=lr, max_ls=max_ls, impl=impl):
             params, targets, x, st = carry
             x, st = L.lbfgs_step(partial(lg, params, targets), x, st, lr,
-                                 max_ls_steps=max_ls)
+                                 max_ls_steps=max_ls, direction_impl=impl)
             return (params, targets, x, st)
 
         st0 = jax.jit(

@@ -203,3 +203,67 @@ def test_unknown_init_method_raises(images, vgg_params):
     cfg = Config(init_method="zeros", base_diameter=16, levels_num=1)
     with pytest.raises(ValueError, match="init_method"):
         TransferJob(content, style, cfg, params=vgg_params)
+
+
+def test_lbfgs_direction_matrix_matches_loop():
+    """The MXU-batched matrix form of the two-loop recursion is the same
+    math as the textbook loop form: identical directions (up to f32
+    summation-order noise) on empty, partially filled, and wrapped
+    circular histories."""
+    rng = np.random.default_rng(11)
+    n, m = 257, 7
+
+    for count in (0, 1, 3, m, m + 4):
+        s_rows = rng.standard_normal((m, n)).astype(np.float32) * 1e-2
+        # positive-curvature pairs (s.y > 0) — the ys > 1e-10 store guard
+        # means real histories never hold anything else
+        y_rows = (s_rows * rng.uniform(0.5, 2.0, (m, 1)).astype(np.float32)
+                  + rng.standard_normal((m, n)).astype(np.float32) * 1e-3)
+        # unfilled slots must be zero like init_state leaves them
+        k = min(count, m)
+        live = [(count - 1 - j) % m for j in range(k)]
+        mask = np.zeros((m, 1), np.float32)
+        mask[live] = 1.0
+        s_hist = jnp.asarray(s_rows * mask)
+        y_hist = jnp.asarray(y_rows * mask)
+        rho = jnp.asarray(
+            (mask[:, 0] / np.maximum(
+                np.einsum("mn,mn->m", s_rows * mask, y_rows * mask),
+                1e-8)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        state = lbfgs_mod.LbfgsState(
+            s_hist=s_hist, y_hist=y_hist, rho=rho,
+            count=jnp.int32(count), f=jnp.float32(0.0), g=g,
+            n_evals=jnp.int32(1), n_iter=jnp.int32(count))
+
+        d_loop = np.asarray(
+            lbfgs_mod._two_loop_direction(g, state, impl="loop"))
+        d_mat = np.asarray(
+            lbfgs_mod._two_loop_direction(g, state, impl="matrix"))
+        np.testing.assert_allclose(
+            d_mat, d_loop, rtol=2e-4, atol=2e-4 * np.abs(d_loop).max(),
+            err_msg=f"count={count}")
+
+
+def test_lbfgs_matrix_direction_minimizes_quadratic():
+    """Full lbfgs_step with the matrix direction (the production default)
+    reaches the quadratic optimum just like the loop form."""
+    rng = np.random.default_rng(3)
+    n = 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    A = a @ a.T + np.eye(n, dtype=np.float32) * 0.5
+    b = rng.standard_normal(n).astype(np.float32)
+    x_opt = np.linalg.solve(A, b)
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def loss_grad(x):
+        return 0.5 * x @ A_j @ x - b_j @ x, A_j @ x - b_j
+
+    for impl in ("matrix", "loop"):
+        x = jnp.zeros(n)
+        state = lbfgs_mod.init_state(loss_grad, x, history=8)
+        for _ in range(30):
+            x, state = lbfgs_mod.lbfgs_step(
+                loss_grad, x, state, jnp.float32(1.0), direction_impl=impl)
+        np.testing.assert_allclose(np.asarray(x), x_opt, rtol=1e-3,
+                                   atol=1e-3, err_msg=impl)
