@@ -75,23 +75,32 @@ def time_loop(name, body, carry0, n_lo=N_LO, n_hi=N_HI):
         return lax.fori_loop(0, n, lambda i, cc: body(cc), c)
 
     fn = jax.jit(run, static_argnums=1)
+
+    def run_sync(n):
+        # exactly one live output at a time: a kept previous output stacks
+        # another full (m, n) state copy next to carry0 and the execution
+        # working set, which OOMs the 16 GB chip at m=100/n=4.7M
+        out = fn(carry0, n)
+        sync(out)
+        return out
+
     t0 = time.time()
-    out_lo = sync(fn(carry0, n_lo)) or None
+    out = run_sync(n_lo)
     log(f"  {name}: compiled+warm lo in {time.time() - t0:.0f}s")
+    del out
     t0 = time.time()
-    sync(fn(carry0, n_lo))
+    out = run_sync(n_lo)
     t_lo = time.time() - t0
+    del out
     t0 = time.time()
-    out_hi = fn(carry0, n_hi)
-    sync(out_hi)
+    out = run_sync(n_hi)
     log(f"  {name}: compiled+warm hi in {time.time() - t0:.0f}s")
+    del out
     t0 = time.time()
-    out_hi = fn(carry0, n_hi)
-    sync(out_hi)
+    out_hi = run_sync(n_hi)
     t_hi = time.time() - t0
     ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
     log(f"  {name}: {ms:.2f} ms/iter  (lo {t_lo:.2f}s, hi {t_hi:.2f}s)")
-    del out_lo
     return ms, out_hi
 
 
@@ -228,15 +237,15 @@ def main(argv):
         del s_hist, y_hist, rho, g, carry0
 
     # full-step variants (expensive compiles; request explicitly)
+    # production (matrix direction) unless the name says loop
     step_variants = {
-        "step_f32h100": dict(),
+        "step_f32h100loop": dict(impl="loop"),
         "step_f32h100mat": dict(impl="matrix"),
-        "step_f32h10": dict(history=10),
-        "step_bf16h100": dict(compute_dtype="bfloat16"),
-        "step_bf16h100mat": dict(compute_dtype="bfloat16", impl="matrix"),
-        "step_bf16h10": dict(compute_dtype="bfloat16", history=10),
-        "step_ref": dict(max_ls=0),
-        "step_refmat": dict(max_ls=0, impl="matrix"),
+        "step_f32h10": dict(history=10, impl="matrix"),
+        "step_bf16h100": dict(compute_dtype="bfloat16", impl="matrix"),
+        "step_bf16h10": dict(compute_dtype="bfloat16", history=10,
+                             impl="matrix"),
+        "step_ref": dict(max_ls=0, impl="matrix"),
     }
     for name, kw in step_variants.items():
         if name not in want:
