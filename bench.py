@@ -63,6 +63,13 @@ BENCH_CONFIGS = {
     # production rule: full-Wolfe L-BFGS measured slower in bf16)
     "lbfgs3level1024": dict(levels_num=3, base_diameter=256,
                             optimizer="lbfgs", _steps=150),
+    # full-Wolfe at the headline resolution in bf16: the isolated step
+    # measures FASTER than f32 (176.6 vs 205.2 ms, scripts/exp_lbfgs1024),
+    # but end-to-end this row measured 4.77 vs f32's 4.96 steps/s — a
+    # wash; the production_config rule (full-Wolfe stays f32) stands
+    "lbfgs3level1024bf16": dict(levels_num=3, base_diameter=256,
+                                optimizer="lbfgs", _steps=150,
+                                compute_dtype="bfloat16"),
     # the reference's "maximum quality/resolution" combination (its
     # default optimizer at levels_num=4, reference config.py:9,12):
     # history=10 keeps the L-BFGS pair buffers at ~1.5 GB instead of the

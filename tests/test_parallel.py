@@ -360,3 +360,23 @@ def test_job_queue_splits_and_routes(vgg_params, rng, monkeypatch):
                                                 params=vgg_params)
     assert failures == {} and len(results) == 2
     assert sizes == [1, 1]
+
+
+def test_run_job_queue_stream_images_off(jobs_data, vgg_params):
+    """stream_images=False: intermediate progress gets images=None (no
+    per-chunk D2H), the final chunk still materializes, and results hold
+    real images."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    seen = []
+    results, failures = run_job_queue(
+        [("a", contents[0], styles[0])], cfg, params=vgg_params,
+        progress=lambda tid, pct, img, loss:
+        seen.append((pct, img is None, loss)),
+        stream_images=False)
+    assert failures == {} and results["a"].shape[-1] == 3
+    assert [p for p, _, _ in seen] == [50.0, 100.0]
+    assert seen[0][1] is True          # intermediate chunk: no image
+    assert seen[-1][1] is False        # final chunk materializes
+    assert all(np.isfinite(l) for _, _, l in seen)
