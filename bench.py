@@ -93,6 +93,13 @@ BENCH_CONFIGS = {
     "batch8x2level512lbfgs": dict(levels_num=2, base_diameter=256,
                                   optimizer="lbfgs", lbfgs_history=10,
                                   _batch=8, _chunk=10, _steps=100),
+    # the batched L-BFGS path run_job_queue's 'auto' policy actually
+    # vmaps: exact reference semantics (max_ls=0, fixed-length search —
+    # no lockstep tax) with the vmapped matrix two-loop direction
+    "batch8x2level512lbfgsref": dict(levels_num=2, base_diameter=256,
+                                     optimizer="lbfgs", lbfgs_history=10,
+                                     lbfgs_max_ls_steps=0, _batch=8,
+                                     _chunk=25, _steps=200),
     # batch-size scaling on one chip (serving saturation curve)
     "batch32x1level256": dict(levels_num=1, base_diameter=256, _batch=32,
                               compute_dtype="bfloat16"),

@@ -25,8 +25,9 @@ XLA layout assignment — PARITY.md round-2 analysis).
 
 Usage:  python scripts/exp_lbfgs1024.py [component ...]
         (default: eval twoloop histupd; 'step' variants are expensive
-        remote compiles, request explicitly: step_f32h100 step_f32h10
-        step_bf16h100 step_bf16h10 step_ref)
+        remote compiles, request explicitly: step_f32h100loop
+        step_f32h100mat step_f32h10 step_bf16h100 step_bf16h10 step_ref
+        — all matrix direction except step_f32h100loop)
 Output: per-component ms on stderr + one JSON dict on stdout.
 """
 

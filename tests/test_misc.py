@@ -183,3 +183,23 @@ def test_cli_fused_style_bwd_flag():
     assert on.fused_style_bwd and not off.fused_style_bwd
     shapes = ((1, 8, 8, 3),)
     assert _config_key(on, shapes) != _config_key(off, shapes)
+
+
+def test_cli_lbfgs_direction_flag():
+    parser = build_parser()
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o", "--lbfgs-direction", "loop"])
+    assert config_from_args(args).lbfgs_direction == "loop"
+    args = parser.parse_args(["--content", "c", "--style", "s",
+                              "--output", "o"])
+    assert config_from_args(args).lbfgs_direction == "matrix"
+
+
+def test_lbfgs_direction_in_config_key():
+    """The direction lowering changes the traced graph, so it must key the
+    compile cache."""
+    from artstyletransfer_tpu.engine.transfer import _config_key
+
+    shapes = ((1, 16, 16, 3),)
+    assert (_config_key(Config(lbfgs_direction="loop"), shapes)
+            != _config_key(Config(), shapes))
