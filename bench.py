@@ -63,6 +63,11 @@ BENCH_CONFIGS = {
     # production rule: full-Wolfe L-BFGS measured slower in bf16)
     "lbfgs3level1024": dict(levels_num=3, base_diameter=256,
                             optimizer="lbfgs", _steps=150),
+    # exact reference semantics (torch max_iter=1 + default max_eval ->
+    # zero line-search iterations) at the headline resolution
+    "lbfgs3level1024ref": dict(levels_num=3, base_diameter=256,
+                               optimizer="lbfgs", lbfgs_max_ls_steps=0,
+                               _steps=200),
     # full-Wolfe at the headline resolution in bf16: the isolated step
     # measures FASTER than f32 (176.6 vs 205.2 ms, scripts/exp_lbfgs1024),
     # but end-to-end this row measured 4.77 vs f32's 4.96 steps/s — a
