@@ -30,14 +30,9 @@ from ..runtime.executor import Executor
 from ..utils.image import load_image, save_image
 
 
-def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
-        prog="astt",
-        description="TPU-native neural style transfer (pyramid Gatys + "
-                    "structured noise init)")
-    p.add_argument("--content", required=True, help="content image path")
-    p.add_argument("--style", required=True, help="style image path")
-    p.add_argument("--output", required=True, help="output JPEG path")
+def add_engine_flags(p: argparse.ArgumentParser) -> None:
+    """Engine/Config flags shared by every frontend parser (astt,
+    astt-queue). config_from_args consumes the resulting namespace."""
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="named config preset (overridden by explicit flags)")
     d = Config()
@@ -107,18 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decay lr per closure evaluation like the reference "
                         "(default on); --no-lr-decay-per-eval decays once "
                         "per step")
-    p.add_argument("--checkpoint", default=None,
-                   help="checkpoint file; combine with --checkpoint-every "
-                        "and --resume")
-    p.add_argument("--checkpoint-every", type=int, default=None)
-    p.add_argument("--resume", action="store_true",
-                   help="resume from --checkpoint if it exists")
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--weights", default=None,
-                   help="VGG19 weights path (.npz/.pth/.h5); default: "
-                        "env ASTT_VGG19_WEIGHTS, cache, or seeded init")
-    p.add_argument("--save-progress", action="store_true",
-                   help="also save intermediate images next to the output")
     p.add_argument("--demo-normal-noise", action="store_true",
                    help="ablation: normal noise instead of style-pixel noise")
     p.add_argument("--demo-no-gaussian-mask", action="store_true",
@@ -127,6 +111,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ablation: constant noise weight (no Sobel map)")
     p.add_argument("--dump-masks", default=None, metavar="DIR",
                    help="dump noise/gradient mask JPEGs for inspection")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="astt",
+        description="TPU-native neural style transfer (pyramid Gatys + "
+                    "structured noise init)")
+    p.add_argument("--content", required=True, help="content image path")
+    p.add_argument("--style", required=True, help="style image path")
+    p.add_argument("--output", required=True, help="output JPEG path")
+    add_engine_flags(p)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; combine with --checkpoint-every "
+                        "and --resume")
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("--weights", default=None,
+                   help="VGG19 weights path (.npz/.pth/.h5); default: "
+                        "env ASTT_VGG19_WEIGHTS, cache, or seeded init")
+    p.add_argument("--save-progress", action="store_true",
+                   help="also save intermediate images next to the output")
     p.add_argument("--verbose-losses", action="store_true",
                    help="print per-level loss components at each progress "
                         "update (reference-style loss table)")

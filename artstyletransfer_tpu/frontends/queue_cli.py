@@ -1,0 +1,160 @@
+"""Headless batch frontend: run an arbitrary job queue through the
+sharded, policy-routed TPU queue.
+
+The reference's only batch surface is the web lab's hard-coded 20-pair
+demo run through the sequential semaphore executor (reference
+lab.py:79-100, task_executor.py). This frontend exposes the real serving
+path — `parallel.run_job_queue`: shape bucketing, the measured
+per-optimizer batching policy ('auto' vmaps Adam / reference-semantics
+L-BFGS queues, runs full-Wolfe L-BFGS sequentially), HBM-aware sub-batch
+splitting, and failure isolation — as a one-command batch runner:
+
+  astt-queue --manifest jobs.jsonl --output-dir out/
+  astt-queue --pair bird.jpg vg.jpg --pair bird.jpg cubism.jpg \
+             --output-dir out/ --preset standard
+
+Manifest: JSONL, one job per line:
+  {"id": "bird_vg", "content": "path/bird.jpg", "style": "path/vg.jpg"}
+("id" optional — derived from the file stems and uniquified.)
+
+Every engine/config flag of `astt` is accepted (same parser block).
+Failed jobs are isolated per bucket, reported on stderr, and reflected
+in the exit code; completed images land in --output-dir/<id>.jpg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..utils.image import load_image, save_image
+from .cli import add_engine_flags, config_from_args
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="astt-queue",
+        description="Batch style transfer: a job queue through the "
+                    "policy-routed, shape-bucketed TPU serving path")
+    p.add_argument("--manifest", default=None,
+                   help="JSONL file: {'id'?, 'content', 'style'} per line")
+    p.add_argument("--pair", nargs=2, action="append", default=[],
+                   metavar=("CONTENT", "STYLE"),
+                   help="content/style image pair (repeatable)")
+    p.add_argument("--output-dir", required=True,
+                   help="directory for <id>.jpg results")
+    add_engine_flags(p)
+    p.add_argument("--batch-policy", default="auto",
+                   choices=["auto", "batched", "sequential"],
+                   help="'auto' (default) applies the measured "
+                        "per-optimizer routing; see parallel/batch.py")
+    p.add_argument("--max-batch", type=int, default=None,
+                   help="cap jobs per compiled batch (default: HBM-aware)")
+    p.add_argument("--canonicalize-styles", action="store_true",
+                   help="square styles to the base diameter so mixed "
+                        "aspect ratios share one compiled batch")
+    p.add_argument("--canonicalize-contents", action="store_true",
+                   help="crop contents to canonical aspect buckets "
+                        "(bounds the number of compiled shapes)")
+    p.add_argument("--weights", default=None,
+                   help="VGG19 weights path (.npz/.pth/.h5); default: "
+                        "env ASTT_VGG19_WEIGHTS, cache, or seeded init")
+    p.add_argument("--metrics", default=None, metavar="PATH",
+                   help="append per-chunk JSONL metrics to PATH")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def load_jobs(args: argparse.Namespace):
+    """(task_id, content, style) triples from --manifest + --pair."""
+    specs = []
+    if args.manifest:
+        with open(args.manifest) as f:
+            for line_no, line in enumerate(f, 1):
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                if "content" not in row or "style" not in row:
+                    raise ValueError(
+                        f"{args.manifest}:{line_no}: need 'content' and "
+                        f"'style' keys, got {sorted(row)}")
+                specs.append((row.get("id"), row["content"], row["style"]))
+    for content, style in args.pair:
+        specs.append((None, content, style))
+    if not specs:
+        raise ValueError("no jobs: pass --manifest and/or --pair")
+
+    jobs, used = [], set()
+    for tid, c_path, s_path in specs:
+        if tid is None:
+            stem = lambda p: os.path.splitext(os.path.basename(p))[0]
+            tid = f"{stem(c_path)}__{stem(s_path)}"
+        base, k = tid, 1
+        while tid in used:
+            k += 1
+            tid = f"{base}_{k}"
+        used.add(tid)
+        jobs.append((tid, load_image(c_path), load_image(s_path)))
+    return jobs
+
+
+def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    jobs = load_jobs(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    params = None
+    if args.weights:
+        from ..models.weights import load_vgg19_params
+        params = load_vgg19_params(args.weights)
+
+    from ..parallel import run_job_queue
+    from ..utils.metrics import MetricsLogger
+
+    if not args.quiet:
+        print(f"queue: {len(jobs)} jobs, policy={args.batch_policy}, "
+              f"optimizer={cfg.optimizer}, levels={cfg.levels_num}, "
+              f"iters={cfg.iters_num}")
+
+    t0 = time.time()
+    with MetricsLogger(args.metrics) as metrics:
+        def report(tid, pct, img, loss):
+            metrics.log("progress", task=tid, percent=pct, loss=loss)
+            if not args.quiet:
+                print(f"[{tid}] {pct:5.1f}% loss {loss:.3e}")
+
+        results, failures = run_job_queue(
+            jobs, cfg, params=params, progress=report,
+            batch_policy=args.batch_policy, max_batch=args.max_batch,
+            canonicalize_styles=args.canonicalize_styles,
+            canonicalize_contents=args.canonicalize_contents,
+            stream_images=False)  # final images only — no per-chunk D2H
+
+        for tid, img in results.items():
+            save_image(np.clip(img, 0, 1),
+                       os.path.join(args.output_dir, f"{tid}.jpg"))
+        for tid, exc in failures.items():
+            print(f"FAILED {tid}: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            metrics.log("task_failed", task=tid)
+
+    if not args.quiet:
+        print(f"queue: {len(results)} done, {len(failures)} failed "
+              f"in {time.time() - t0:.1f}s -> {args.output_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

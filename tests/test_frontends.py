@@ -452,3 +452,96 @@ def test_lab_metrics_jsonl(tmp_path):
     events = [json.loads(line) for line in mpath.read_text().splitlines()]
     assert any(e["event"] == "progress" and e["percent"] == 100.0
                for e in events)
+
+
+# ---------------------------------------------------------------------------
+# astt-queue (headless batch frontend)
+# ---------------------------------------------------------------------------
+
+def test_queue_cli_manifest_and_pairs(tmp_path):
+    """astt-queue: manifest + --pair jobs run through run_job_queue and
+    land as <id>.jpg; per-chunk metrics JSONL is written; ids uniquify."""
+    import json as json_mod
+
+    from artstyletransfer_tpu.frontends import queue_cli
+
+    _write_demo_images(tmp_path)
+    c = str(tmp_path / "content-images" / "c.jpg")
+    s = str(tmp_path / "style-images" / "s.jpg")
+    manifest = tmp_path / "jobs.jsonl"
+    manifest.write_text(
+        json_mod.dumps({"id": "first", "content": c, "style": s}) + "\n"
+        + json_mod.dumps({"content": c, "style": s}) + "\n")
+    out = tmp_path / "out"
+    metrics = tmp_path / "metrics.jsonl"
+
+    rc = queue_cli.main([
+        "--manifest", str(manifest), "--pair", c, s,
+        "--output-dir", str(out), "--metrics", str(metrics),
+        "--optimizer", "adam", "--levels", "1", "--iters", "4",
+        "--base-diameter", "16", "--stream-every", "2",
+        "--compute-dtype", "float32", "--quiet"])
+    assert rc == 0
+    # manifest id, derived id, and the uniquified --pair duplicate
+    assert sorted(p.name for p in out.glob("*.jpg")) == [
+        "c__s.jpg", "c__s_2.jpg", "first.jpg"]
+    events = [json_mod.loads(l) for l in metrics.read_text().splitlines()]
+    assert {e["event"] for e in events} == {"progress"}
+    assert {e["task"] for e in events} == {"first", "c__s", "c__s_2"}
+    assert all(np.isfinite(e["loss"]) for e in events)
+
+
+def test_queue_cli_failure_exit_code(tmp_path, monkeypatch):
+    """Failed jobs flip the exit code, completed ones are still written,
+    and the failure lands in the metrics log (bucket isolation itself is
+    pinned by tests/test_parallel.py)."""
+    import json as json_mod
+
+    import artstyletransfer_tpu.parallel as parallel_mod
+    from artstyletransfer_tpu.frontends import queue_cli
+
+    _write_demo_images(tmp_path)
+    c = str(tmp_path / "content-images" / "c.jpg")
+    s = str(tmp_path / "style-images" / "s.jpg")
+
+    def fake_queue(jobs, cfg, **kw):
+        by_id = dict.fromkeys(j[0] for j in jobs)
+        assert sorted(by_id) == ["c__s", "poison"]
+        return ({"c__s": np.full((8, 8, 3), 0.5, np.float32)},
+                {"poison": RuntimeError("poisoned bucket")})
+
+    monkeypatch.setattr(parallel_mod, "run_job_queue", fake_queue)
+    out = tmp_path / "out"
+    metrics = tmp_path / "m.jsonl"
+    rc = queue_cli.main([
+        "--pair", c, s, "--manifest", str(_write_manifest(tmp_path, c, s)),
+        "--output-dir", str(out), "--metrics", str(metrics), "--quiet"])
+    assert rc == 1
+    assert [p.name for p in out.glob("*.jpg")] == ["c__s.jpg"]
+    events = [json_mod.loads(l) for l in metrics.read_text().splitlines()]
+    assert {"event": "task_failed", "task": "poison"} == \
+        {k: v for k, v in events[-1].items() if k in ("event", "task")}
+
+
+def _write_manifest(tmp_path, c, s):
+    import json as json_mod
+
+    manifest = tmp_path / "poison.jsonl"
+    manifest.write_text(
+        json_mod.dumps({"id": "poison", "content": c, "style": s}) + "\n")
+    return manifest
+
+
+def test_queue_cli_manifest_validation(tmp_path):
+    from artstyletransfer_tpu.frontends import queue_cli
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"content": "x.jpg"}\n')
+    ns = queue_cli.build_parser().parse_args(
+        ["--manifest", str(bad), "--output-dir", str(tmp_path)])
+    with pytest.raises(ValueError, match="style"):
+        queue_cli.load_jobs(ns)
+    ns2 = queue_cli.build_parser().parse_args(
+        ["--output-dir", str(tmp_path)])
+    with pytest.raises(ValueError, match="no jobs"):
+        queue_cli.load_jobs(ns2)
