@@ -156,8 +156,8 @@ def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
     Q = jnp.einsum("mn,kn->mk", Y, Y, precision=hi)    # Y Yᵀ
     A_sy = P[ix][:, ix]                        # (m, m) age-ordered S Yᵀ
     B_yy = Q[ix][:, ix]                        # (m, m) age-ordered Y Yᵀ
-    u = (S @ g)[ix] * valid                    # (m,) s̃_jᵀ g
-    v = (Y @ g)[ix] * valid                    # (m,) ỹ_jᵀ g
+    u = jnp.einsum("mn,n->m", S, g, precision=hi)[ix] * valid   # s̃_jᵀ g
+    v = jnp.einsum("mn,n->m", Y, g, precision=hi)[ix] * valid   # ỹ_jᵀ g
     rho_t = state.rho[ix] * valid
 
     # alpha recursion: a_j depends on strictly newer (smaller-age) a_i
@@ -172,7 +172,7 @@ def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
                       A_sy[0, 0] / jnp.maximum(B_yy[0, 0], 1e-20), 1.0)
 
     # beta recursion, oldest -> newest; ỹ_jᵀ q = (v - B a)_j
-    yq = (v - B_yy @ alpha) * valid
+    yq = (v - jnp.einsum("mk,k->m", B_yy, alpha, precision=hi)) * valid
 
     def beta_body(i, b):
         j = m - 1 - i                          # age j from oldest to newest
@@ -201,6 +201,9 @@ def _two_loop_direction(g: jax.Array, state: LbfgsState,
     identical math, see the per-impl docstrings)."""
     if impl == "loop":
         return _two_loop_direction_loop(g, state)
+    if impl != "matrix":
+        raise ValueError(f"unknown lbfgs direction impl {impl!r}; "
+                         "expected 'matrix' or 'loop'")
     return _two_loop_direction_matrix(g, state)
 
 

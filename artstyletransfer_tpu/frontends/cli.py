@@ -199,6 +199,8 @@ def run_job_checkpointed(args: argparse.Namespace, cfg: Config) -> np.ndarray:
 
     with MetricsLogger(args.metrics) as metrics:
         tp = Throughput()
+        tp.tick(0)  # baseline: the 0 -> first-chunk interval carries the
+        # compile and is the one Throughput skips (same as bench.py)
         for done, img, loss in job.run(
                 checkpoint_path=args.checkpoint,
                 checkpoint_every=args.checkpoint_every or cfg.stream_every,

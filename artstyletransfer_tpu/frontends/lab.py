@@ -235,6 +235,8 @@ def create_app(config=None, data_dir: str = None, pairs=None,
             task = app.get(key)
             if task is not None:
                 task.cancel()
+        if metrics is not None:
+            metrics.close()
 
     app = web.Application()
     app["executor"] = executor

@@ -32,7 +32,6 @@ import time
 
 import numpy as np
 
-from ..config import Config
 from ..utils.image import load_image, save_image
 from .cli import add_engine_flags, config_from_args
 
@@ -80,7 +79,12 @@ def load_jobs(args: argparse.Namespace):
                 line = line.strip()
                 if not line:
                     continue
-                row = json.loads(line)
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"{args.manifest}:{line_no}: invalid JSON: {e}"
+                    ) from e
                 if "content" not in row or "style" not in row:
                     raise ValueError(
                         f"{args.manifest}:{line_no}: need 'content' and "

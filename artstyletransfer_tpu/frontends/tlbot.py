@@ -320,10 +320,14 @@ def main(argv=None) -> int:
         from ..utils.metrics import MetricsLogger
 
         metrics = MetricsLogger(args.metrics)
-    bot = StyleTransferBot(TelegramClient(args.token), cfg,
-                           canonicalize=args.canonicalize or args.warmup,
-                           metrics=metrics)
-    asyncio.run(bot.run_polling())
+    try:
+        bot = StyleTransferBot(TelegramClient(args.token), cfg,
+                               canonicalize=args.canonicalize or args.warmup,
+                               metrics=metrics)
+        asyncio.run(bot.run_polling())
+    finally:
+        if metrics is not None:
+            metrics.close()
     return 0
 
 

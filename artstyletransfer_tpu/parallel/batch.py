@@ -446,19 +446,36 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     policy = resolve_batch_policy(cfg, batch_policy)
     results: Dict[str, np.ndarray] = {}
     failures: Dict[str, Exception] = {}
+    # BatchedTransferJob pads every batch up to a multiple of the mesh's
+    # jobs axis by replicating jobs, so the split size must account for
+    # it: the HBM/saturation cap from max_jobs_per_batch is PER DEVICE
+    # (one-chip measurements), a jobs axis of size A distributes the
+    # history A ways, and a group must be a multiple of A or the padding
+    # replicas blow the very budget the cap enforces.
+    jobs_axis = (mesh.shape["jobs"]
+                 if mesh is not None and "jobs" in mesh.axis_names else 1)
     for bucket in bucket_jobs(jobs).values():
         if policy == "sequential":
             cap = 1
         else:
-            cap = (max_batch if max_batch is not None
-                   else max_jobs_per_batch(cfg, bucket[0][1].shape))
+            if max_batch is not None:
+                cap = max_batch          # explicit override: literal total
+            else:
+                # per-device measured cap x devices on the jobs axis
+                cap = max_jobs_per_batch(cfg, bucket[0][1].shape) * jobs_axis
         groups = [bucket[i:i + cap] for i in range(0, len(bucket), cap)]
         for group in groups:
             ids = [j[0] for j in group]
+            # sequential single-job groups must not be padded/replicated
+            # across a jobs axis (A-1 wasted replicas + the lockstep tax
+            # the sequential routing exists to avoid)
+            group_mesh = mesh if (policy != "sequential"
+                                  or jobs_axis == 1) else None
             try:
                 batch = BatchedTransferJob(
                     [j[1] for j in group], [j[2] for j in group], cfg,
-                    params=params, mesh=mesh, shard_space=shard_space)
+                    params=params, mesh=group_mesh,
+                    shard_space=shard_space and group_mesh is not None)
                 for done, imgs, losses in batch.run(
                         yield_images=stream_images):
                     if progress is not None:

@@ -30,14 +30,11 @@ def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     """Separable 'valid' Gaussian filtering of an HW or HWC image."""
-    pad = len(k) // 2
     out = img.astype(np.float64)
-    # rows
     out = np.apply_along_axis(lambda m: np.convolve(m, k, mode="valid"),
                               0, out)
     out = np.apply_along_axis(lambda m: np.convolve(m, k, mode="valid"),
                               1, out)
-    del pad
     return out
 
 

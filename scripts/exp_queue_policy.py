@@ -23,7 +23,7 @@ Output: one JSON dict on stdout, logs on stderr.
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 import json
 import sys
 import time

@@ -380,3 +380,48 @@ def test_run_job_queue_stream_images_off(jobs_data, vgg_params):
     assert seen[0][1] is True          # intermediate chunk: no image
     assert seen[-1][1] is False        # final chunk materializes
     assert all(np.isfinite(l) for _, _, l in seen)
+
+
+def test_job_queue_split_is_mesh_aware(vgg_params, rng, monkeypatch):
+    """With a jobs-axis mesh, the auto split cap is per-DEVICE x axis size
+    (BatchedTransferJob pads each batch to a multiple of the axis, so
+    smaller groups would replicate jobs and blow the per-device budget),
+    and sequential groups of 1 drop the mesh instead of being padded."""
+    from artstyletransfer_tpu.parallel import batch as batch_mod
+
+    calls = []
+    orig = batch_mod.BatchedTransferJob
+
+    class Recorder(orig):
+        def __init__(self, contents, styles, *a, **kw):
+            calls.append((len(contents), kw.get("mesh")))
+            super().__init__(contents, styles, *a, **kw)
+
+    monkeypatch.setattr(batch_mod, "BatchedTransferJob", Recorder)
+    monkeypatch.setattr(batch_mod, "max_jobs_per_batch",
+                        lambda cfg, shape: 2)  # per-device cap of 2
+
+    content = rng.random((24, 24, 3)).astype(np.float32)
+    style = rng.random((16, 16, 3)).astype(np.float32)
+    jobs = [(f"t{i}", content.copy(), style.copy()) for i in range(5)]
+    mesh = jobs_mesh(2)
+
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    results, failures = batch_mod.run_job_queue(jobs, cfg,
+                                                params=vgg_params, mesh=mesh)
+    assert failures == {} and len(results) == 5
+    # cap = 2/device x 2 devices = 4 -> groups [4, 1], mesh kept
+    assert [c[0] for c in calls] == [4, 1]
+    assert all(c[1] is mesh for c in calls)
+
+    # sequential policy: per-job groups run WITHOUT the jobs mesh (no
+    # padding replicas, no lockstep)
+    calls.clear()
+    cfg_fw = Config(levels_num=1, iters_num=1, base_diameter=16,
+                    optimizer="lbfgs", stream_every=1, lbfgs_history=2,
+                    lbfgs_max_ls_steps=2)
+    results, failures = batch_mod.run_job_queue(jobs[:2], cfg_fw,
+                                                params=vgg_params, mesh=mesh)
+    assert failures == {} and len(results) == 2
+    assert calls == [(1, None), (1, None)]
