@@ -267,3 +267,47 @@ def test_lbfgs_matrix_direction_minimizes_quadratic():
                 loss_grad, x, state, jnp.float32(1.0), direction_impl=impl)
         np.testing.assert_allclose(np.asarray(x), x_opt, rtol=1e-3,
                                    atol=1e-3, err_msg=impl)
+
+
+def test_lbfgs_direction_matrix_matches_loop_vmapped():
+    """The matrix direction under vmap (the batched ref-semantics serving
+    path) equals the loop form per batch row."""
+    rng = np.random.default_rng(17)
+    b, n, m = 3, 129, 5
+    s = rng.standard_normal((b, m, n)).astype(np.float32) * 1e-2
+    y = (s * rng.uniform(0.5, 2.0, (b, m, 1)).astype(np.float32)
+         + rng.standard_normal((b, m, n)).astype(np.float32) * 1e-3)
+    rho = (1.0 / np.maximum(np.einsum("bmn,bmn->bm", s, y), 1e-8)
+           ).astype(np.float32)
+    g = rng.standard_normal((b, n)).astype(np.float32)
+    counts = np.array([m, 2, m + 3], np.int32)  # full, partial, wrapped
+    # zero unfilled slots per row, as init_state leaves them
+    for i, cnt in enumerate(counts):
+        k = min(int(cnt), m)
+        live = [(int(cnt) - 1 - j) % m for j in range(k)]
+        mask = np.zeros(m, bool)
+        mask[live] = True
+        s[i, ~mask] = 0.0
+        y[i, ~mask] = 0.0
+        rho[i, ~mask] = 0.0
+
+    def direction(impl, s, y, rho, cnt, g):
+        st = lbfgs_mod.LbfgsState(
+            s_hist=s, y_hist=y, rho=rho, count=cnt,
+            f=jnp.float32(0.0), g=g, n_evals=jnp.int32(1),
+            n_iter=cnt)
+        return lbfgs_mod._two_loop_direction(g, st, impl=impl)
+
+    import functools
+
+    for impl in ("matrix", "loop"):
+        fn = jax.vmap(functools.partial(direction, impl))
+        out = np.asarray(fn(jnp.asarray(s), jnp.asarray(y),
+                            jnp.asarray(rho), jnp.asarray(counts),
+                            jnp.asarray(g)))
+        if impl == "matrix":
+            d_mat = out
+        else:
+            d_loop = out
+    np.testing.assert_allclose(d_mat, d_loop, rtol=2e-4,
+                               atol=2e-4 * np.abs(d_loop).max())
