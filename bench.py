@@ -68,6 +68,11 @@ BENCH_CONFIGS = {
     "lbfgs3level1024ref": dict(levels_num=3, base_diameter=256,
                                optimizer="lbfgs", lbfgs_max_ls_steps=0,
                                _steps=200),
+    # ...at production precision (the per-optimizer rule switches
+    # ref-semantics L-BFGS to bf16; config.production_config)
+    "lbfgs3level1024refbf16": dict(levels_num=3, base_diameter=256,
+                                   optimizer="lbfgs", lbfgs_max_ls_steps=0,
+                                   compute_dtype="bfloat16", _steps=200),
     # full-Wolfe at the headline resolution in bf16: the isolated step
     # measures FASTER than f32 (176.6 vs 205.2 ms, scripts/exp_lbfgs1024),
     # but end-to-end this row measured 4.77 vs f32's 4.96 steps/s — a
