@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", default=None,
                    help="VGG19 weights path (.npz/.pth/.h5); default: "
                         "env ASTT_VGG19_WEIGHTS, cache, or seeded init")
+    p.add_argument("--checkpoint-dir", default=None, metavar="DIR",
+                   help="crash recovery: checkpoint each compiled group's "
+                        "batch state here every --checkpoint-every steps")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="steps between checkpoints (default: stream_every)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the same queue from --checkpoint-dir")
     p.add_argument("--metrics", default=None, metavar="PATH",
                    help="append per-chunk JSONL metrics to PATH")
     p.add_argument("--quiet", action="store_true")
@@ -144,7 +151,10 @@ def main(argv=None) -> int:
             batch_policy=args.batch_policy, max_batch=args.max_batch,
             canonicalize_styles=args.canonicalize_styles,
             canonicalize_contents=args.canonicalize_contents,
-            stream_images=False)  # final images only — no per-chunk D2H
+            stream_images=False,  # final images only — no per-chunk D2H
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume)
 
         for tid, img in results.items():
             save_image(np.clip(img, 0, 1),

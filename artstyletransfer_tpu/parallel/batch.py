@@ -394,7 +394,10 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   canonicalize_contents: bool = False,
                   batch_policy: str = "auto",
                   max_batch: Optional[int] = None,
-                  stream_images: bool = True
+                  stream_images: bool = True,
+                  checkpoint_dir: Optional[str] = None,
+                  checkpoint_every: Optional[int] = None,
+                  resume: bool = False
                   ) -> Tuple[Dict[str, np.ndarray], Dict[str, Exception]]:
     """Run an arbitrary job queue: bucket by shape, batch each bucket across
     the mesh, stream progress.
@@ -430,12 +433,24 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     headless queue runs where only losses/percent matter. The transfer is
     ~2 ms on a real TPU host NIC; leaving it on is correct for serving.
 
+    checkpoint_dir enables crash recovery for long queues: each compiled
+    group checkpoints its whole batch state (images + optimizer state,
+    bit-exact incl. L-BFGS history — engine/checkpoint.py) every
+    checkpoint_every steps to
+    `<dir>/queue_<sha1-of-group-task-ids>.ckpt`; with resume=True a
+    re-run of the SAME queue (same task ids, same grouping knobs) picks
+    every group up from its last checkpoint — completed groups return
+    their final images without recomputing. The file name keys on the
+    group's task ids, so resuming with different ids/splits starts fresh.
+
     canonicalize_contents center-crops each content image to the nearest
     canonical aspect bucket and resizes it to that bucket's exact
     top-pyramid-level shape (lossless for the pipeline — resolution above
     the top level is never used). An arbitrary queue then compiles at most
     len(DEFAULT_ASPECT_BUCKETS) batch shapes.
     """
+    if checkpoint_dir is not None and checkpoint_every is None:
+        checkpoint_every = cfg.stream_every  # same default as the CLI path
     if canonicalize_contents:
         jobs = [(tid, canonicalize_content(c, cfg), s) for tid, c, s in jobs]
 
@@ -471,13 +486,24 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
             # the sequential routing exists to avoid)
             group_mesh = mesh if (policy != "sequential"
                                   or jobs_axis == 1) else None
+            ckpt_path = None
+            if checkpoint_dir is not None:
+                import hashlib
+                import os
+
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                tag = hashlib.sha1(",".join(ids).encode()).hexdigest()[:16]
+                ckpt_path = os.path.join(checkpoint_dir, f"queue_{tag}.ckpt")
             try:
                 batch = BatchedTransferJob(
                     [j[1] for j in group], [j[2] for j in group], cfg,
                     params=params, mesh=group_mesh,
                     shard_space=shard_space and group_mesh is not None)
                 for done, imgs, losses in batch.run(
-                        yield_images=stream_images):
+                        yield_images=stream_images,
+                        checkpoint_path=ckpt_path,
+                        checkpoint_every=checkpoint_every,
+                        resume=resume):
                     if progress is not None:
                         pct = done / cfg.iters_num * 100.0
                         for i, tid in enumerate(ids):

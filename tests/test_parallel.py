@@ -425,3 +425,40 @@ def test_job_queue_split_is_mesh_aware(vgg_params, rng, monkeypatch):
                                                 params=vgg_params, mesh=mesh)
     assert failures == {} and len(results) == 2
     assert calls == [(1, None), (1, None)]
+
+
+def test_run_job_queue_checkpoint_resume(jobs_data, vgg_params, tmp_path):
+    """Queue-level crash recovery: a partial run leaves per-group
+    checkpoints; re-running the SAME queue with resume=True continues
+    from them and lands bit-exactly on the uninterrupted result."""
+    contents, styles = jobs_data
+    jobs = [("a", contents[0], styles[0]), ("b", contents[1], styles[1])]
+    ck = str(tmp_path / "ck")
+
+    def run(iters, resume):
+        cfg = Config(levels_num=1, iters_num=iters, base_diameter=16,
+                     optimizer="adam", stream_every=2)
+        return run_job_queue(jobs, cfg, params=vgg_params,
+                             checkpoint_dir=ck, resume=resume)
+
+    # "crash" after 2 of 4 steps (run a short queue with checkpointing)
+    partial, failures = run(2, resume=False)
+    assert failures == {}
+    ckpts = sorted(p.name for p in (tmp_path / "ck").glob("queue_*.ckpt"))
+    assert len(ckpts) == 1  # both jobs share one shape bucket -> one group
+
+    # resume to the full length; must equal an uninterrupted 4-step run
+    resumed, failures = run(4, resume=True)
+    assert failures == {}
+    straight, failures = run_job_queue(
+        jobs, Config(levels_num=1, iters_num=4, base_diameter=16,
+                     optimizer="adam", stream_every=2), params=vgg_params)
+    assert failures == {}
+    for tid in ("a", "b"):
+        np.testing.assert_array_equal(resumed[tid], straight[tid])
+
+    # resuming an already-completed queue returns final images, no rerun
+    again, failures = run(4, resume=True)
+    assert failures == {}
+    for tid in ("a", "b"):
+        np.testing.assert_array_equal(again[tid], straight[tid])
