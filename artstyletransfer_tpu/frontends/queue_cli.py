@@ -120,7 +120,10 @@ def main(argv=None) -> int:
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.resume and not args.checkpoint_dir:
+        parser.error("--resume requires --checkpoint-dir")
     cfg = config_from_args(args)
 
     jobs = load_jobs(args)
