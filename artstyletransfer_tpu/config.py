@@ -208,11 +208,16 @@ def production_config(base: Config | None = None) -> Config:
 
     On TPU backends this switches compute_dtype float32 -> bfloat16 (a
     config that already asks for a non-default dtype is left alone); on
-    CPU/GPU it is the identity. Exception: full-Wolfe L-BFGS
-    (lbfgs_max_ls_steps > 0) stays f32 — it measured ~13% slower in bf16
-    (see inline comment). The frontends and the benchmark use this as the
-    deployment default; pass an explicit --compute-dtype float32 to opt
-    out.
+    CPU/GPU it is the identity. The frontends and the benchmark use this
+    as the deployment default; pass an explicit --compute-dtype float32
+    to opt out.
+
+    History note: rounds 1-2 kept full-Wolfe L-BFGS on f32 (bf16 measured
+    ~13% slower at 512px) — that was an artifact of the loop-form
+    two-loop direction. On the round-3 matrix direction bf16 wins at
+    every measured size (2level512 19.4 vs 17.8 steps/s; 3level1024
+    5.6-5.8 vs 5.0, identical or lower final loss at 150 steps, ~2.6 vs
+    2.4 line-search evals/step), so all optimizers now run bf16.
 
     Why bf16 is the TPU production default (scripts/precision_study.py,
     v5e-1, 500 full steps, all losses evaluated under one f32 metric
@@ -228,12 +233,6 @@ def production_config(base: Config | None = None) -> Config:
     """
     cfg = base if base is not None else Config()
     if cfg.compute_dtype != "float32":
-        return cfg
-    if cfg.optimizer == "lbfgs" and cfg.lbfgs_max_ls_steps > 0:
-        # measured exception (v5e-1, 2level512, identical ~2.14 line-search
-        # evals/step both dtypes): full-Wolfe L-BFGS runs ~13% SLOWER in
-        # bf16 (11.6-12.0 vs 14.0 steps/s) while ref-semantics max_ls=0
-        # runs 14% faster (21.4 vs 18.8) — keep full-Wolfe on f32
         return cfg
     try:
         import jax

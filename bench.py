@@ -59,8 +59,8 @@ BENCH_CONFIGS = {
     "lbfgs2level512refbf16": dict(levels_num=2, base_diameter=256,
                                   optimizer="lbfgs", lbfgs_max_ls_steps=0,
                                   compute_dtype="bfloat16"),
-    # the default optimizer at the headline resolution (f32 per the
-    # production rule: full-Wolfe L-BFGS measured slower in bf16)
+    # the default optimizer at the headline resolution, f32 variant
+    # (production default is bf16 since r3 — the row below)
     "lbfgs3level1024": dict(levels_num=3, base_diameter=256,
                             optimizer="lbfgs", _steps=150),
     # exact reference semantics (torch max_iter=1 + default max_eval ->
@@ -73,10 +73,10 @@ BENCH_CONFIGS = {
     "lbfgs3level1024refbf16": dict(levels_num=3, base_diameter=256,
                                    optimizer="lbfgs", lbfgs_max_ls_steps=0,
                                    compute_dtype="bfloat16", _steps=200),
-    # full-Wolfe at the headline resolution in bf16: the isolated step
-    # measures FASTER than f32 (176.6 vs 205.2 ms, scripts/exp_lbfgs1024),
-    # but end-to-end this row measured 4.77 vs f32's 4.96 steps/s — a
-    # wash; the production_config rule (full-Wolfe stays f32) stands
+    # full-Wolfe at the headline resolution at PRODUCTION precision
+    # (bf16 since r3): repeat runs 5.56/5.82 vs f32's 4.96/5.02 steps/s
+    # (one early 4.77 sample was post-compile congestion); isolated step
+    # 176.6 vs 205.2 ms agrees (scripts/exp_lbfgs1024.py)
     "lbfgs3level1024bf16": dict(levels_num=3, base_diameter=256,
                                 optimizer="lbfgs", _steps=150,
                                 compute_dtype="bfloat16"),

@@ -132,12 +132,11 @@ def test_production_config_platform_resolution(monkeypatch):
     assert production_config(Config()).compute_dtype == "float32"
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    # measured exception: full-Wolfe L-BFGS (the default config) runs
-    # slower in bf16 on TPU and stays f32
-    assert production_config(Config()).compute_dtype == "float32"
+    # every optimizer runs bf16 on TPU since the r3 matrix two-loop
+    # (the r1-r2 full-Wolfe f32 exception was a loop-direction artifact)
+    assert production_config(Config()).compute_dtype == "bfloat16"
     assert production_config(
         Config(optimizer="adam")).compute_dtype == "bfloat16"
-    # reference-semantics L-BFGS (max_ls=0) measured faster in bf16
     assert production_config(
         Config(optimizer="lbfgs",
                lbfgs_max_ls_steps=0)).compute_dtype == "bfloat16"
@@ -164,11 +163,12 @@ def test_cli_compute_dtype_default_is_production(monkeypatch):
                               "--output", "o", "--optimizer", "adam",
                               "--compute-dtype", "float32"])
     assert config_from_args(args).compute_dtype == "float32"
-    # the default optimizer is full-Wolfe L-BFGS, which measured slower
-    # in bf16 and stays f32 even on TPU
+    # the default optimizer (full-Wolfe L-BFGS) also runs bf16 since the
+    # matrix two-loop direction (r3: 19.4 vs 17.8 steps/s at 512, 5.6-5.8
+    # vs 5.0 at 1024; rounds 1-2 kept it f32 — a loop-direction artifact)
     args = parser.parse_args(["--content", "c", "--style", "s",
                               "--output", "o"])
-    assert config_from_args(args).compute_dtype == "float32"
+    assert config_from_args(args).compute_dtype == "bfloat16"
 
 
 def test_cli_fused_style_bwd_flag():
