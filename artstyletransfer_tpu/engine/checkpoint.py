@@ -7,12 +7,17 @@ image buffer, optimizer state (Adam moments or the L-BFGS history), and the
 step counter — round-trips through a single .npz file, so a job can resume
 exactly where it stopped (bitwise: the state is the entire dynamic input of
 the jitted chunk).
+
+Checkpoints carry a CONFIG FINGERPRINT (the engine's graph cache key) and
+per-leaf dtypes: resuming under a changed graph config (different
+optimizer flags, compute dtype, loss weights, ...) fails loudly instead of
+silently loading shape-compatible state into a different numerics graph.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -28,9 +33,11 @@ def _flatten_state(tree: Any) -> Dict[str, np.ndarray]:
 
 
 def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
-                    step: int) -> None:
+                    step: int, fingerprint: Optional[str] = None) -> None:
     arrays = {"magic": np.array(_MAGIC), "x": np.asarray(x),
               "step": np.array(step)}
+    if fingerprint is not None:
+        arrays["fingerprint"] = np.array(fingerprint)
     for k, v in _flatten_state(opt_state).items():
         arrays[f"opt_{k}"] = v
     tmp = path + ".tmp"
@@ -40,13 +47,27 @@ def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
 
 
-def load_checkpoint(path: str, opt_state_template: Any
+def load_checkpoint(path: str, opt_state_template: Any,
+                    fingerprint: Optional[str] = None
                     ) -> Tuple[np.ndarray, Any, int]:
     """Returns (x, opt_state, step). The template provides the pytree
-    structure (build it with the job's init_fn)."""
+    structure (build it with the job's init_fn).
+
+    If both the caller and the file carry a fingerprint, they must match:
+    a checkpoint written under one graph config (optimizer, dtype, loss
+    weights, shapes) must not silently resume a different one. Files
+    written before fingerprints existed load as before."""
     data = np.load(path, allow_pickle=False)
     if str(data["magic"]) != _MAGIC:
         raise ValueError(f"not an astt checkpoint: {path}")
+    if fingerprint is not None and "fingerprint" in data:
+        saved = str(data["fingerprint"])
+        if saved != fingerprint:
+            raise ValueError(
+                f"checkpoint {path} was written under a different engine "
+                f"config and cannot resume this job.\n  saved:   {saved}\n"
+                f"  current: {fingerprint}\nDelete the checkpoint (or "
+                f"restore the original flags) to proceed.")
     leaves, treedef = jax.tree.flatten(opt_state_template)
     new_leaves = []
     for i, leaf in enumerate(leaves):
@@ -55,6 +76,11 @@ def load_checkpoint(path: str, opt_state_template: Any
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected "
                 f"{np.shape(leaf)} (different config/shape?)")
+        want_dtype = np.asarray(leaf).dtype
+        if arr.dtype != want_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} dtype {arr.dtype} != expected "
+                f"{want_dtype} (different compute dtype/config?)")
         new_leaves.append(arr)
     opt_state = jax.tree.unflatten(treedef, new_leaves)
     return data["x"], opt_state, int(data["step"])

@@ -63,6 +63,31 @@ def test_checkpoint_wrong_shape_rejected(images, vgg_params, tmp_path):
                        resume=True))
 
 
+def test_checkpoint_config_mismatch_rejected(images, vgg_params, tmp_path):
+    """Resuming under a changed GRAPH config (same shapes!) fails loudly:
+    e.g. an Adam-f32 checkpoint must not silently seed a run whose flags
+    changed the traced graph (loss weights, dtype, optimizer knobs)."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ckpt = str(tmp_path / "job.npz")
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    list(job.run(checkpoint_path=ckpt, checkpoint_every=2))
+
+    # identical shapes, different graph: changed loss weight
+    cfg2 = dataclasses.replace(cfg, style_weight=cfg.style_weight * 2)
+    other = TransferJob(content, style, cfg2, params=vgg_params)
+    with pytest.raises(ValueError, match="different engine config"):
+        list(other.run(checkpoint_path=ckpt, checkpoint_every=100,
+                       resume=True))
+
+    # the unchanged config still resumes fine
+    same = TransferJob(content, style, cfg, params=vgg_params)
+    out = list(same.run(iters_num=4, checkpoint_path=ckpt,
+                        checkpoint_every=100, resume=True))
+    assert out[-1][0] == 4
+
+
 def test_nan_guard_trips(images, vgg_params):
     content, style = images
     # absurd lr drives Adam to overflow quickly at tiny resolution

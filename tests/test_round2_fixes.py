@@ -45,9 +45,9 @@ def test_checkpoint_cadence_not_chunk_aligned(images, vgg_params,
     saves = []
     real_save = ckpt_mod.save_checkpoint
 
-    def counting_save(path, x, opt_state, step):
+    def counting_save(path, x, opt_state, step, **kw):
         saves.append(step)
-        return real_save(path, x, opt_state, step)
+        return real_save(path, x, opt_state, step, **kw)
 
     monkeypatch.setattr(ckpt_mod, "save_checkpoint", counting_save)
 
