@@ -115,10 +115,17 @@ class Config:
     pool_impl: str = "reduce_window"    # VGG maxpool lowering:
                                         # 'reduce_window' fuses into TPU
                                         # conv fusions (fastest single-chip);
-                                        # 'slices' partitions cleanly under
-                                        # SPMD space sharding (the batched
-                                        # executor switches to it
-                                        # automatically when shard_space=True)
+                                        # 'reshape' ((h/2,2,w/2,2) split +
+                                        # max over window axes) partitions
+                                        # cleanly under SPMD space sharding
+                                        # (the batched executor switches to
+                                        # it automatically when
+                                        # shard_space=True); 'slices'
+                                        # (strided slices + maximum) is the
+                                        # legacy SPMD variant — warning-free
+                                        # but a stride-2 slice along the
+                                        # sharded H axis replicates
+                                        # everything after the first pool
     fused_style_bwd: bool = True        # style-layer loss with the 1x1-conv
                                         # custom-VJP backward: the tap's
                                         # gradient  f @ (G - Gt)  is emitted

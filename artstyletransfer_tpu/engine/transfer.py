@@ -69,22 +69,46 @@ def _on_tpu() -> bool:
 
 
 def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
-                       cfg: Config):
+                       cfg: Config, space_mesh=None):
     """Returns loss_fn(params, targets, x_flat) -> (total, LevelLoss list).
 
     targets: tuple per level of (content_tap, tuple(grams)).
     x_flat: flattened top-level preprocessed image.
+
+    space_mesh: a Mesh with a 'space' axis — the image at EVERY pyramid
+    level is then explicitly constrained to shard its H dimension over
+    'space'. Without the constraints only level 0 partitions: the bicubic
+    downscale between levels contracts the sharded H axis (a matmul), so
+    GSPMD all-reduces it and every lower level comes out REPLICATED,
+    wasting the memory the space axis exists to save (measured by
+    scripts/space_memory.py: per-device temp ratio 0.82 unconstrained vs
+    ~1/space constrained at a 2K/4-level shape). The constrained builds
+    are cached separately (_config_key gains the mesh entry).
     """
     top_shape = level_shapes[0]
 
+    def constrain(t):
+        # (1, h, w, 3) per-job image -> h sharded over 'space'. Under the
+        # batched runners' vmap(spmd_axis_name='jobs') the leading batch
+        # dim is prefixed automatically.
+        if space_mesh is None:
+            return t
+        n_space = space_mesh.shape["space"]
+        if t.shape[1] % n_space != 0:
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            t, NamedSharding(space_mesh, P(None, "space", None, None)))
+
     def loss_fn(params, targets, x_flat):
-        img = x_flat.reshape(top_shape)
+        img = constrain(x_flat.reshape(top_shape))
         total = jnp.float32(0.0)
         metrics = []
         cur = img
         for lvl in range(len(level_shapes)):
             if lvl > 0:
-                cur = downscale2x(cur)
+                cur = constrain(downscale2x(cur))
 
             def level_pass(params, cur, lvl=lvl):
                 feats = extract_features(params, cur, cfg.compute_dtype,
@@ -152,7 +176,7 @@ class Runners(NamedTuple):
     raw_targets: Any
 
 
-def _config_key(cfg: Config, level_shapes) -> tuple:
+def _config_key(cfg: Config, level_shapes, space_mesh=None) -> tuple:
     return (tuple(level_shapes), cfg.content_weight, cfg.style_weight,
             cfg.tv_weight, cfg.optimizer, cfg.compute_dtype,
             cfg.conv_precision, cfg.use_relu,
@@ -161,39 +185,55 @@ def _config_key(cfg: Config, level_shapes) -> tuple:
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.lbfgs_direction,
             cfg.remat_levels,
             cfg.pool_impl, cfg.use_pallas and _on_tpu(),
-            cfg.fused_style_bwd)
+            cfg.fused_style_bwd,
+            None if space_mesh is None else space_mesh)
 
 
-def lbfgs_history_gb(cfg: Config, level_shapes, batch: int = 1) -> float:
-    """HBM the L-BFGS s/y history buffers need, in GB (f32 pairs)."""
+def lbfgs_history_gb(cfg: Config, level_shapes, batch: int = 1,
+                     space: int = 1) -> float:
+    """PER-DEVICE HBM the L-BFGS s/y history buffers need, in GB (f32
+    pairs). `space` = size of the mesh's space axis the pixel dim is
+    sharded over (the history rows shard with it — proven per-device by
+    scripts/space_memory.py)."""
     n_pixels = int(np.prod(level_shapes[0]))
-    return 2 * cfg.lbfgs_history * n_pixels * 4 * batch / 1e9
+    return 2 * cfg.lbfgs_history * n_pixels * 4 * batch / space / 1e9
 
 
-def warn_lbfgs_hbm(cfg: Config, level_shapes, batch: int = 1) -> bool:
-    """Print a stderr warning when the (possibly batched) L-BFGS history
-    approaches the chip's HBM; returns whether it fired. One formula /
-    threshold for the single-job and batched sites."""
-    hist_gb = lbfgs_history_gb(cfg, level_shapes, batch)
+def warn_lbfgs_hbm(cfg: Config, level_shapes, batch: int = 1,
+                   space: int = 1) -> bool:
+    """Print a stderr warning when the (possibly batched/sharded) L-BFGS
+    history approaches a chip's HBM; returns whether it fired. One
+    formula / threshold for the single-job and batched sites."""
+    hist_gb = lbfgs_history_gb(cfg, level_shapes, batch, space)
     if hist_gb <= 8.0:
         return False
     import sys
 
     jobs = f"{batch} jobs x " if batch > 1 else ""
-    print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB "
-          f"({jobs}history={cfg.lbfgs_history}); consider "
-          f"--lbfgs-history 10 or a smaller batch/resolution",
+    shard = f" over {space} chips" if space > 1 else ""
+    print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB per "
+          f"device{shard} ({jobs}history={cfg.lbfgs_history}); consider "
+          f"--lbfgs-history 10, shard-space over more chips, or a smaller "
+          f"batch/resolution",
           file=sys.stderr)
     return True
 
 
-def _build_runners(cfg: Config, level_shapes):
-    """Build (init_fn, chunk_fn, metrics_fn) for one shape bucket."""
-    key = _config_key(cfg, level_shapes)
+def _build_runners(cfg: Config, level_shapes, warn_hbm: bool = True,
+                   space_mesh=None):
+    """Build (init_fn, chunk_fn, metrics_fn) for one shape bucket.
+
+    warn_hbm=False suppresses the per-job L-BFGS HBM warning (the batched
+    builder emits its own batch-aggregate warning, which subsumes it).
+    space_mesh: build the loss graph with explicit 'space'-axis sharding
+    constraints (see _make_pyramid_loss) — used by the batched executor
+    when shard_space is on; cached separately."""
+    key = _config_key(cfg, level_shapes, space_mesh)
     if key in _COMPILE_CACHE:
         return _COMPILE_CACHE[key]
 
-    loss_fn = _make_pyramid_loss(list(level_shapes), cfg)
+    loss_fn = _make_pyramid_loss(list(level_shapes), cfg,
+                                 space_mesh=space_mesh)
 
     def scalar_loss(params, targets, x):
         total, _ = loss_fn(params, targets, x)
@@ -222,7 +262,8 @@ def _build_runners(cfg: Config, level_shapes):
         # torch-default history_size=100 needs 2 * history * n floats; warn
         # when that approaches the chip's HBM (e.g. 4-level/2K jobs) instead
         # of letting the allocator fail cryptically mid-run
-        warn_lbfgs_hbm(cfg, level_shapes)
+        if warn_hbm:
+            warn_lbfgs_hbm(cfg, level_shapes)
 
         def init_fn(params, targets, x):
             lg = partial(loss_grad, params, targets)
@@ -360,6 +401,10 @@ class TransferJob:
         iters = iters_num if iters_num is not None else cfg.iters_num
         chunk = stream_every if stream_every is not None else cfg.stream_every
         chunk = max(1, min(chunk, iters))
+        # graph-config fingerprint stored in (and checked against) the
+        # checkpoint: resuming under changed optimizer/dtype/shape flags
+        # fails loudly instead of silently mixing numerics
+        fp = str(_config_key(cfg, tuple(self.level_shapes)))
 
         # fresh copy: the chunk runner donates its image buffer, and _x0
         # must survive so the job can be re-run
@@ -368,7 +413,8 @@ class TransferJob:
         done = 0
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             x_np, opt_state, done = load_checkpoint(checkpoint_path,
-                                                    opt_state)
+                                                    opt_state,
+                                                    fingerprint=fp)
             x = jnp.asarray(x_np)
             if done >= iters:
                 # the checkpoint already holds a completed run — yield its
@@ -404,7 +450,8 @@ class TransferJob:
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
                          or done >= iters)):
-                save_checkpoint(checkpoint_path, x, opt_state, done)
+                save_checkpoint(checkpoint_path, x, opt_state, done,
+                                fingerprint=fp)
                 last_saved = done
             if sync:
                 img = unprepare_img(

@@ -63,10 +63,12 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                         "elsewhere — see config.production_config)")
     p.add_argument("--conv-precision", choices=["default", "high", "highest"],
                    default=None, help="MXU pass count for float32 convs")
-    p.add_argument("--pool-impl", choices=["reduce_window", "slices"],
+    p.add_argument("--pool-impl",
+                   choices=["reduce_window", "slices", "reshape"],
                    default=None,
                    help="VGG maxpool lowering (reduce_window = fastest "
-                        "single-chip; slices = SPMD-clean)")
+                        "single-chip; reshape = partitions under space "
+                        "sharding; slices = legacy SPMD variant)")
     p.add_argument("--fused-style-bwd",
                    action=argparse.BooleanOptionalAction, default=None,
                    help="style loss with the 1x1-conv custom-VJP backward "

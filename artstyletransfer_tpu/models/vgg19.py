@@ -118,21 +118,31 @@ def _maxpool2(x: jax.Array, impl: str = "reduce_window") -> jax.Array:
       fusions on TPU — measured 22% faster for the full 1024px step than
       the slice variant, despite the select-and-scatter backward looking
       expensive in isolation.
-    - 'slices': strided-slice + maximum. Used on the space-sharded SPMD
-      path: reduce_window's (select-and-scatter) sharding support triggers
-      "involuntary full rematerialization" partitioner fallbacks on tiny
-      pooled shapes, while the slice form partitions cleanly
-      (MULTICHIP dryrun is warning-free with it).
+    - 'slices': strided-slice + maximum. reduce_window's
+      (select-and-scatter) sharding support triggers "involuntary full
+      rematerialization" partitioner fallbacks on tiny pooled shapes; the
+      slice form avoids those warnings but a stride-2 slice along a
+      SHARDED H axis still makes GSPMD replicate everything downstream of
+      the first pool (measured: only the conv1 block of each level
+      actually partitioned, scripts/space_memory.py round 4).
+    - 'reshape': split H (and W) into (dim/2, 2) and max over the window
+      axes. A split-dim reshape of an evenly-sharded axis partitions
+      cleanly, so the whole VGG stack stays sharded under the 'space'
+      axis — this is what the space-sharded batched executor uses.
 
-    Gradient-at-ties differs between the two (first-wins vs split-evenly),
-    but ties only occur between equal activations — after ReLU that means
-    zeros, whose gradient the ReLU mask kills anyway; the torch-twin
-    trajectory tests confirm bit-comparable training either way
+    Gradient-at-ties differs between the variants (first-wins vs
+    split-evenly), but ties only occur between equal activations — after
+    ReLU that means zeros, whose gradient the ReLU mask kills anyway; the
+    torch-twin trajectory tests confirm bit-comparable training either way
     (tests/test_trajectory_parity.py).
     """
-    if impl == "slices":
+    if impl in ("slices", "reshape"):
         b, h, w, c = x.shape
         x = x[:, :h - h % 2, :w - w % 2, :]
+        if impl == "reshape":
+            b2, h2, w2, c2 = x.shape
+            x = x.reshape(b2, h2 // 2, 2, w2 // 2, 2, c2)
+            return x.max(axis=(2, 4))
         x = jnp.maximum(x[:, 0::2], x[:, 1::2])
         return jnp.maximum(x[:, :, 0::2], x[:, :, 1::2])
     return lax.reduce_window(

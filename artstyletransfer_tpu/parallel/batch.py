@@ -35,27 +35,59 @@ from ..utils.image import prepare_img, unprepare_img
 
 _BATCH_CACHE: Dict[Any, Any] = {}
 
+# Gate for the fully-constrained space-sharded graph: the LOWEST pyramid
+# level's shortest side must be >= 32 * space. Below it, two observed
+# failure modes (round 4, CPU virtual mesh):
+# - taps whose H collapses to 1 trigger GSPMD "involuntary full
+#   rematerialization" warnings (16px dryrun);
+# - a genuine partitioner MISCOMPUTE at degenerate tap shardings: with the
+#   lowest level at 32px on a 2-way space axis, relu5_1 (2x2 spatial,
+#   sharded 2-way) summed exactly 16x too large in the value_and_grad
+#   graph while the forward-only graph was correct. The gate excludes
+#   every shape that measured wrong and keeps the production target
+#   (4level2k, lowest level 256px, space=8 -> 256 >= 256) which measures
+#   CORRECT; tests/test_round4_fixes.py pins both sides.
+MIN_LOWEST_LEVEL_PER_SHARD = 32
 
-def _build_batched_runners(cfg: Config, level_shapes: tuple):
-    """vmapped (init_fn, chunk_fn) over the leading job axis."""
+
+def constrained_space_ok(level_shapes, n_space: int) -> bool:
+    """Whether the constrained sharded graph (per-level sharding
+    constraints + reshape pool) is safe/worthwhile at these shapes."""
+    lowest = level_shapes[-1]
+    return (n_space > 1
+            and min(lowest[1], lowest[2])
+            >= MIN_LOWEST_LEVEL_PER_SHARD * n_space)
+
+
+def _build_batched_runners(cfg: Config, level_shapes: tuple,
+                           warn_hbm: bool = True, space_mesh=None):
+    """vmapped (init_fn, chunk_fn) over the leading job axis.
+
+    space_mesh: build the per-job loss graph with explicit 'space'
+    sharding constraints (every pyramid level's H dim stays sharded —
+    see transfer._make_pyramid_loss); the vmaps then carry
+    spmd_axis_name='jobs' so the constraints compose with the job axis."""
     # derived from the single-job cache key so every graph-changing knob
     # (conv_precision, use_pallas, ...) is covered exactly once
-    key = ("batched",) + _config_key(cfg, tuple(level_shapes))
+    key = ("batched",) + _config_key(cfg, tuple(level_shapes), space_mesh)
     if key in _BATCH_CACHE:
         return _BATCH_CACHE[key]
 
-    runners = _build_runners(cfg, tuple(level_shapes))
+    runners = _build_runners(cfg, tuple(level_shapes), warn_hbm=warn_hbm,
+                             space_mesh=space_mesh)
+    spmd = {} if space_mesh is None else {"spmd_axis_name": "jobs"}
 
     # vmap over (targets, x, opt_state); params and the step counter are
     # shared across jobs.
     def batched_init(params, targets, x):
-        return jax.vmap(lambda t, xx: runners.raw_init(params, t, xx))(
-            targets, x)
+        return jax.vmap(lambda t, xx: runners.raw_init(params, t, xx),
+                        **spmd)(targets, x)
 
     def batched_chunk(params, targets, x, opt_state, start_step, n_steps):
         return jax.vmap(
             lambda t, xx, st: runners.raw_chunk(params, t, xx, st,
-                                                start_step, n_steps)
+                                                start_step, n_steps),
+            **spmd,
         )(targets, x, opt_state)
 
     def batched_targets(params, c_levels, s_levels):
@@ -66,7 +98,7 @@ def _build_batched_runners(cfg: Config, level_shapes: tuple):
         def one(t, xx):
             total, _ = runners.raw_metrics(params, t, xx)
             return total
-        return jax.vmap(one)(targets, x)
+        return jax.vmap(one, **spmd)(targets, x)
 
     compiled = (jax.jit(batched_init),
                 jax.jit(batched_chunk, static_argnums=(5,),
@@ -148,24 +180,49 @@ class BatchedTransferJob:
         use_space = (shard_space and mesh is not None
                      and "space" in mesh.axis_names
                      and x0.shape[1] % mesh.shape["space"] == 0)
-        if (use_space and mesh.shape["space"] > 1
-                and cfg.pool_impl == "reduce_window"):
+        # The fully-constrained sharded graph (per-level sharding
+        # constraints + reshape pool — engine/transfer._make_pyramid_loss)
+        # engages only above the safety gate (see constrained_space_ok:
+        # degenerate tap shardings below it produce partitioner warnings
+        # AND one measured miscompute). Tiny jobs keep the legacy behavior
+        # (inputs sharded, graph unconstrained) — space sharding exists
+        # for jobs too BIG for one chip, not 16px dryruns.
+        constrained = (use_space
+                       and constrained_space_ok(self.level_shapes,
+                                                mesh.shape["space"]))
+        if constrained and cfg.pool_impl in ("reduce_window", "slices"):
             # reduce_window's select-and-scatter triggers SPMD involuntary
-            # rematerialization fallbacks under space sharding; the slice
-            # pool partitions cleanly (identical forward semantics)
+            # rematerialization fallbacks under space sharding, and a
+            # stride-2 slice along the sharded H axis makes GSPMD
+            # replicate everything after the first pool; the reshape pool
+            # partitions cleanly (identical forward semantics)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, pool_impl="reshape")
+            self.cfg = cfg
+        elif (not constrained and use_space and mesh.shape["space"] > 1
+                and cfg.pool_impl == "reduce_window"):
             import dataclasses
             cfg = dataclasses.replace(cfg, pool_impl="slices")
             self.cfg = cfg
 
-        if cfg.optimizer == "lbfgs" and self.batch > 1:
+        n_space = (mesh.shape["space"] if use_space else 1)
+        batch_warning = cfg.optimizer == "lbfgs" and (self.batch > 1
+                                                      or n_space > 1)
+        if batch_warning:
             # the single-job warning in _build_runners only sees one job's
-            # history; always surface the batch-aggregate requirement (it
-            # subsumes the per-job figure — e.g. ~61 GB at batch 4 where the
-            # per-job warning reports ~15)
-            warn_lbfgs_hbm(cfg, self.level_shapes, batch=self.batch)
+            # un-sharded history; surface the batch-aggregate PER-DEVICE
+            # requirement instead (it subsumes the per-job figure, and
+            # space sharding divides it — proven per-device by
+            # scripts/space_memory.py), and suppress the per-job one so a
+            # single condition prints a single warning
+            warn_lbfgs_hbm(cfg, self.level_shapes, batch=self.batch,
+                           space=n_space)
 
+        space_mesh = mesh if constrained else None
         jit_init, jit_chunk, jit_targets, jit_metrics = \
-            _build_batched_runners(cfg, tuple(self.level_shapes))
+            _build_batched_runners(cfg, tuple(self.level_shapes),
+                                   warn_hbm=not batch_warning,
+                                   space_mesh=space_mesh)
         self._init_fn, self._chunk_fn = jit_init, jit_chunk
         self._metrics_fn = jit_metrics
 
@@ -209,6 +266,11 @@ class BatchedTransferJob:
         iters = iters_num if iters_num is not None else cfg.iters_num
         chunk = stream_every if stream_every is not None else cfg.stream_every
         chunk = max(1, min(chunk, iters))
+        # graph-config fingerprint (includes the padded batch size):
+        # resuming a queue checkpoint under changed optimizer/dtype/batch
+        # flags fails loudly instead of silently mixing states
+        fp = str(("batched", self.batch)
+                 + _config_key(cfg, tuple(self.level_shapes)))
 
         # fresh copy: the chunk runner donates its image buffer, and _x0
         # must survive so the batch can be re-run
@@ -218,7 +280,8 @@ class BatchedTransferJob:
         top = self.level_shapes[0]  # (1, H, W, 3) per job
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             x_np, opt_state, done = load_checkpoint(checkpoint_path,
-                                                    opt_state)
+                                                    opt_state,
+                                                    fingerprint=fp)
             x = jnp.asarray(x_np)
             if done >= iters:
                 # completed checkpoint — yield its final state once, with
@@ -239,7 +302,8 @@ class BatchedTransferJob:
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
                          or done >= iters)):
-                save_checkpoint(checkpoint_path, x, opt_state, done)
+                save_checkpoint(checkpoint_path, x, opt_state, done,
+                                fingerprint=fp)
                 last_saved = done
             if yield_images or done >= iters:
                 imgs = np.asarray(x).reshape((self.batch,) + top[1:])
@@ -387,6 +451,25 @@ def max_jobs_per_batch(cfg: Config, content_shape: tuple) -> int:
     return cap
 
 
+def resolve_group_cap(cfg: Config, content_shape: tuple, jobs_axis: int,
+                      policy: str, max_batch: Optional[int]) -> int:
+    """Jobs per compiled group for one bucket (see run_job_queue).
+
+    An explicit max_batch is a literal total cap: it is rounded DOWN to a
+    multiple of the mesh's jobs axis so BatchedTransferJob's replication
+    padding can never exceed it. A cap below one axis-width still pads up
+    to the axis — the smallest batch a jobs mesh can physically run."""
+    if policy == "sequential":
+        return 1
+    if max_batch is not None:
+        cap = max_batch
+        if jobs_axis > 1 and cap >= jobs_axis:
+            cap -= cap % jobs_axis
+        return max(1, cap)
+    # per-device measured cap x devices on the jobs axis
+    return max_jobs_per_batch(cfg, content_shape) * jobs_axis
+
+
 def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   cfg: Config, params=None, mesh: Optional[Mesh] = None,
                   shard_space: bool = False, progress=None,
@@ -470,14 +553,8 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     jobs_axis = (mesh.shape["jobs"]
                  if mesh is not None and "jobs" in mesh.axis_names else 1)
     for bucket in bucket_jobs(jobs).values():
-        if policy == "sequential":
-            cap = 1
-        else:
-            if max_batch is not None:
-                cap = max_batch          # explicit override: literal total
-            else:
-                # per-device measured cap x devices on the jobs axis
-                cap = max_jobs_per_batch(cfg, bucket[0][1].shape) * jobs_axis
+        cap = resolve_group_cap(cfg, bucket[0][1].shape, jobs_axis,
+                                policy, max_batch)
         groups = [bucket[i:i + cap] for i in range(0, len(bucket), cap)]
         for group in groups:
             ids = [j[0] for j in group]
@@ -499,6 +576,7 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                     [j[1] for j in group], [j[2] for j in group], cfg,
                     params=params, mesh=group_mesh,
                     shard_space=shard_space and group_mesh is not None)
+                imgs = None
                 for done, imgs, losses in batch.run(
                         yield_images=stream_images,
                         checkpoint_path=ckpt_path,
@@ -506,10 +584,19 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                         resume=resume):
                     if progress is not None:
                         pct = done / cfg.iters_num * 100.0
+                        # one D2H fetch for the whole batch: on the
+                        # stream_images=False path losses is a lazy device
+                        # array, and per-job float(losses[i]) would issue B
+                        # separate dispatch+fetch round trips per chunk
+                        losses = np.asarray(losses)
                         for i, tid in enumerate(ids):
                             progress(tid, pct,
                                      imgs[i] if imgs is not None else None,
                                      float(losses[i]))
+                if imgs is None:
+                    raise RuntimeError(
+                        f"batch of {len(ids)} job(s) yielded no chunks "
+                        f"(iters_num={cfg.iters_num})")
                 for i, tid in enumerate(ids):
                     results[tid] = imgs[i]
             except Exception as e:  # noqa: BLE001 — bucket isolation

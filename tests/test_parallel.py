@@ -199,6 +199,52 @@ def test_batched_checkpoint_resume(jobs_data, vgg_params, tmp_path):
     np.testing.assert_allclose(imgs_done, imgs_res, rtol=1e-6, atol=1e-7)
 
 
+def test_batched_checkpoint_config_mismatch_rejected(jobs_data, vgg_params,
+                                                     tmp_path):
+    """A queue checkpoint keys on task ids but the STATE must also match
+    the graph config: editing optimizer/dtype flags between --resume runs
+    fails loudly instead of silently mixing states (round-4 fix)."""
+    import dataclasses
+
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ckpt = str(tmp_path / "batch.npz")
+    half = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                              params=vgg_params)
+    list(half.run(iters_num=2, checkpoint_path=ckpt, checkpoint_every=2))
+
+    cfg2 = dataclasses.replace(cfg, lr_start=cfg.lr_start * 2)
+    other = BatchedTransferJob(contents[:2], styles[:2], cfg2,
+                               params=vgg_params)
+    with pytest.raises(ValueError, match="different engine config"):
+        list(other.run(iters_num=4, checkpoint_path=ckpt,
+                       checkpoint_every=100, resume=True))
+
+
+def test_space_sharding_memory_ratio():
+    """Space sharding must deliver its stated purpose — per-device HBM
+    relief (SURVEY §5): AOT-compile the production batched chunk on the
+    8-device virtual mesh replicated vs space-sharded and pin that
+    per-device temp memory drops by >2x (measured ~1/space at production
+    shapes — scripts/space_memory.py / PARITY.md; this small shape keeps
+    the CPU compile fast, and deep VGG taps stop sharding once their H
+    collapses below the axis, so the bound here is looser than 1/space)."""
+    from artstyletransfer_tpu.parallel.memory import aot_memory_stats
+    from artstyletransfer_tpu.parallel.mesh import jobs_space_mesh
+
+    cfg = Config(levels_num=2, optimizer="adam", base_diameter=64,
+                 iters_num=4)
+    mesh = jobs_space_mesh(1, 2)
+    rep = aot_memory_stats(cfg, (128, 192), mesh, batch=1,
+                           shard_space=False, n_steps=2)
+    shd = aot_memory_stats(cfg, (128, 192), mesh, batch=1,
+                           shard_space=True, n_steps=2)
+    assert shd["temp_bytes"] < 0.75 * rep["temp_bytes"], (shd, rep)
+    # the optimizer/image state (outputs) shards fully: ~1/2 per device
+    assert shd["output_bytes"] < 0.6 * rep["output_bytes"], (shd, rep)
+
+
 def test_tiny_base_diameter_rejected(jobs_data, vgg_params):
     """base_diameter < 16 would give empty VGG taps (NaN losses)."""
     contents, styles = jobs_data
