@@ -56,3 +56,45 @@ def test_golden_one_step_bitlevel():
     assert done == 1
     np.testing.assert_allclose(loss, float(data["loss"]), rtol=1e-6)
     np.testing.assert_allclose(img, data["image"], rtol=1e-6, atol=1e-7)
+
+
+GOLDEN_LBFGSREF_1STEP = os.path.join(os.path.dirname(__file__), "goldens",
+                                     "transfer_2lvl_lbfgsref_1step.npz")
+GOLDEN_LBFGS_WRAPPED = os.path.join(os.path.dirname(__file__), "goldens",
+                                    "transfer_2lvl_lbfgs_wrapped.npz")
+
+
+def test_golden_lbfgs_ref_semantics_one_step_bitlevel():
+    """Torch-free regression gate for the PRODUCTION-DEFAULT optimizer
+    (reference config.py:9: lbfgs is THE default): one reference-semantics
+    L-BFGS step — two-loop direction, the single max_ls=0 trial
+    (kept-if-better), and the history update — at bit level. The
+    torch-parity suite needs torch at test time; this golden does not, so
+    an L-BFGS numerics regression is caught even where torch is absent."""
+    data = np.load(GOLDEN_LBFGSREF_1STEP)
+    cfg = Config(levels_num=2, iters_num=1, base_diameter=16,
+                 optimizer="lbfgs", lbfgs_max_ls_steps=0, lbfgs_history=10,
+                 stream_every=1, seed=7)
+    job = TransferJob(np.asarray(data["content"]), np.asarray(data["style"]),
+                      cfg, params=init_vgg19_params(seed=0))
+    done, img, loss = list(job.run())[-1]
+    assert done == 1
+    np.testing.assert_allclose(loss, float(data["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(img, data["image"], rtol=1e-6, atol=1e-7)
+
+
+def test_golden_lbfgs_wrapped_history():
+    """Five full-Wolfe L-BFGS steps with history=2: the circular s/y
+    buffers WRAP, so the matrix two-loop direction, the bracket+zoom
+    strong-Wolfe search, and the modular history indexing all execute on
+    wrapped state. Multi-step L-BFGS at lr_start=10 amplifies any drift,
+    so the gate is PSNR-based like the 10-step Adam golden."""
+    data = np.load(GOLDEN_LBFGS_WRAPPED)
+    cfg = Config(levels_num=2, iters_num=5, base_diameter=16,
+                 optimizer="lbfgs", lbfgs_history=2, stream_every=5, seed=7)
+    job = TransferJob(np.asarray(data["content"]), np.asarray(data["style"]),
+                      cfg, params=init_vgg19_params(seed=0))
+    done, img, loss = list(job.run())[-1]
+    assert done == 5
+    assert psnr(img, data["image"]) > 35.0, psnr(img, data["image"])
+    np.testing.assert_allclose(loss, float(data["loss"]), rtol=5e-2)
