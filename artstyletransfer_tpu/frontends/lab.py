@@ -65,14 +65,22 @@ def default_data_dir() -> str:
 def create_app(config=None, data_dir: str = None, pairs=None,
                autostart: bool = True, engine=None,
                batched: bool = False,
+               online: bool = False,
+               executor=None,
                results_dir: str = None,
                metrics_path: str = None) -> web.Application:
-    """Build the lab application. `engine`/`pairs` are injectable for tests.
+    """Build the lab application. `engine`/`pairs`/`executor` are
+    injectable for tests.
 
     batched=True replaces the reference's 2-at-a-time semaphore scheduling
     with the TPU-native path: the whole demo queue runs through
     parallel.run_job_queue (shape-bucketed, vmapped, mesh-sharded), with
     progress streamed back into the same progress table the routes read.
+
+    online=True serves LIVE tasks through the online batching executor
+    (runtime/online.py): tasks added while the chip is busy coalesce into
+    the next vmapped batch round instead of running 2-at-a-time — same
+    routes, same progress table, reference-parity outputs.
     """
     config = config or STANDARD_GAUSS_NOISE_CONFIG
     data_dir = data_dir or default_data_dir()
@@ -85,23 +93,45 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         from ..utils.metrics import MetricsLogger
 
         metrics = MetricsLogger(metrics_path)
-    executor = Executor(config, engine=engine, verbose=False,
-                        metrics=metrics)
+    if executor is None:
+        if online:
+            from ..runtime.online import OnlineBatchingExecutor
+
+            executor = OnlineBatchingExecutor(config, verbose=False,
+                                              metrics=metrics)
+        else:
+            executor = Executor(config, engine=engine, verbose=False,
+                                metrics=metrics)
     env = jinja2.Environment(
         loader=jinja2.FileSystemLoader(_TEMPLATE_DIR), autoescape=True)
 
     def _load_pairs():
+        """[(c_name, content, s_name, style, error|None)] — a missing or
+        corrupt image fails ONLY its pair (the task renders as a failed
+        card) instead of killing the whole demo batch. The reference raises
+        on the first missing file (reference lab.py:117-118)."""
         content_dir = os.path.join(data_dir, "content-images")
         style_dir = os.path.join(data_dir, "style-images")
         out = []
         for c_name, s_name in pairs:
-            content = load_image(os.path.join(content_dir, c_name))
-            style = load_image(os.path.join(style_dir, s_name))
-            out.append((c_name, content, s_name, style))
+            try:
+                content = load_image(os.path.join(content_dir, c_name))
+                style = load_image(os.path.join(style_dir, s_name))
+                out.append((c_name, content, s_name, style, None))
+            except Exception as e:  # noqa: BLE001 — per-pair isolation
+                out.append((c_name, None, s_name, None, e))
         return out
 
+    async def _record_load_failure(task_id, error):
+        # seed the progress table so the card exists, then mark it failed
+        await executor.set_progress(task_id, (-1, None))
+        executor.failures[task_id] = error
+
     async def backend_task(app):
-        for c_name, content, s_name, style in _load_pairs():
+        for c_name, content, s_name, style, err in _load_pairs():
+            if err is not None:
+                await _record_load_failure(str(uuid.uuid4()), err)
+                continue
             await executor.add_task(
                 str(uuid.uuid4()),
                 ContentStylePair((c_name, content), (s_name, style)))
@@ -109,7 +139,12 @@ def create_app(config=None, data_dir: str = None, pairs=None,
     async def backend_task_batched(app):
         from ..parallel import run_job_queue
 
-        loaded = _load_pairs()
+        loaded = []
+        for c_name, content, s_name, style, err in _load_pairs():
+            if err is not None:
+                await _record_load_failure(str(uuid.uuid4()), err)
+                continue
+            loaded.append((c_name, content, s_name, style))
         jobs = [(str(uuid.uuid4()), content, style)
                 for _c, content, _s, style in loaded]
         loop = asyncio.get_running_loop()
@@ -268,6 +303,10 @@ def main(argv=None) -> int:
     parser.add_argument("--batched", action="store_true",
                         help="run the demo queue through the mesh-batched "
                              "TPU executor instead of 2-at-a-time")
+    parser.add_argument("--online", action="store_true",
+                        help="serve live tasks through the online batching "
+                             "executor: concurrent same-bucket jobs "
+                             "coalesce into one vmapped batch")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default=None,
                         help="conv compute dtype; default: production "
@@ -283,7 +322,7 @@ def main(argv=None) -> int:
         cfg = production_config(cfg)
     app = create_app(config=cfg, data_dir=args.data_dir,
                      autostart=not args.no_autostart, batched=args.batched,
-                     metrics_path=args.metrics)
+                     online=args.online, metrics_path=args.metrics)
     web.run_app(app, host=args.host, port=args.port)
     return 0
 

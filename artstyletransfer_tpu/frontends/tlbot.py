@@ -120,7 +120,8 @@ class StyleTransferBot:
     """Handler logic, transport-agnostic (testable with a fake client)."""
 
     def __init__(self, client, config: Optional[Config] = None, engine=None,
-                 canonicalize: bool = False, metrics=None):
+                 canonicalize: bool = False, metrics=None,
+                 online: bool = False, executor=None):
         self.client = client
         self.config = config or Config()
         # canonicalize=True crops/resizes incoming photos to the canonical
@@ -131,10 +132,23 @@ class StyleTransferBot:
         self.canonicalize = canonicalize
         self.tasks_table: Dict[str, ChatProgress] = {}
         self.table_lock = asyncio.Lock()
-        self.executor = Executor(self.config,
-                                 report_progress=self.task_progress_callback,
-                                 engine=engine, verbose=False,
-                                 metrics=metrics)
+        if executor is not None:
+            self.executor = executor
+        elif online:
+            # live batching: concurrent album jobs whose canonical shapes
+            # share a bucket run as ONE vmapped batch instead of
+            # 2-at-a-time (runtime/online.py). The executor canonicalizes
+            # at add_task, so the handler-level crop is redundant.
+            from ..runtime.online import OnlineBatchingExecutor
+
+            self.canonicalize = False
+            self.executor = OnlineBatchingExecutor(
+                self.config, report_progress=self.task_progress_callback,
+                verbose=False, metrics=metrics)
+        else:
+            self.executor = Executor(
+                self.config, report_progress=self.task_progress_callback,
+                engine=engine, verbose=False, metrics=metrics)
         self._pending_albums: Dict[str, List[dict]] = {}
         self._album_timers: Dict[str, asyncio.TimerHandle] = {}
 
@@ -292,6 +306,11 @@ def main(argv=None) -> int:
                         help="precompile all aspect buckets before polling "
                              "(implies --canonicalize; first users then "
                              "skip the minutes-long cold compile)")
+    parser.add_argument("--online-batching", action="store_true",
+                        help="coalesce concurrent jobs sharing a canonical "
+                             "shape bucket into one vmapped batch instead "
+                             "of running them 2-at-a-time (implies "
+                             "canonicalization inside the executor)")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default=None,
                         help="conv compute dtype; default: production "
@@ -323,7 +342,8 @@ def main(argv=None) -> int:
     try:
         bot = StyleTransferBot(TelegramClient(args.token), cfg,
                                canonicalize=args.canonicalize or args.warmup,
-                               metrics=metrics)
+                               metrics=metrics,
+                               online=args.online_batching)
         asyncio.run(bot.run_polling())
     finally:
         if metrics is not None:

@@ -33,6 +33,11 @@ from ..engine.transfer import ContentStylePair, neural_style_transfer
 _semaphore: Optional[asyncio.Semaphore] = None
 _semaphore_loop: Optional[asyncio.AbstractEventLoop] = None
 
+# Failure-table retention cap: a long-lived serving process (the Telegram
+# bot runs forever) must not grow Executor.failures without bound; the
+# oldest entries age out once frontends have had ample time to render them.
+MAX_RECORDED_FAILURES = 256
+
 
 def _get_semaphore() -> asyncio.Semaphore:
     """Global concurrency cap (reference task_executor.py:9), created lazily
@@ -178,6 +183,9 @@ class Executor:
         async with self.__tasks_lock:
             if error is not None:
                 self.failures[task_id] = error
+                while len(self.failures) > MAX_RECORDED_FAILURES:
+                    # dicts iterate in insertion order: drop the oldest
+                    self.failures.pop(next(iter(self.failures)))
                 print(f"Task {task_id} FAILED: {type(error).__name__}: {error}")
                 self._log_metric("task_failed", task_id)
             else:

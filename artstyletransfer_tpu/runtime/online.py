@@ -1,0 +1,217 @@
+"""Online batching executor: live serving through the vmapped TPU path.
+
+The reference's serving model runs N jobs "2 at a time" behind a global
+semaphore (reference task_executor.py:9, config.py:1) — each concurrent
+request owns the whole accelerator alternately. This executor is the
+TPU-native replacement for LIVE traffic (Telegram bot, lab): concurrent
+`add_task`s are canonicalized onto the serving shape buckets
+(parallel/batch.py), held for a short coalescing window, and dispatched as
+ONE vmapped, mesh-sharded batch per bucket instead of interleaved
+single-job runs — measured 3-8x aggregate job-steps/s for Adam and
+reference-semantics L-BFGS queues (PARITY.md).
+
+Scheduling semantics:
+- Tasks join at batch creation: everything pending when the chip frees up
+  (plus a `batch_window_s` coalescing window for near-simultaneous
+  requests) forms the next dispatch round; tasks arriving while a batch
+  is optimizing accumulate for the following round.
+- Each round runs through `parallel.run_job_queue`, so the measured
+  batching policy applies unchanged: 'auto' vmaps Adam/ref-semantics
+  L-BFGS buckets and runs full-Wolfe L-BFGS jobs sequentially
+  (resolve_batch_policy), buckets split HBM-aware (max_jobs_per_batch),
+  and a poisoned bucket fails in isolation.
+- The API is a drop-in for runtime.executor.Executor (add_task /
+  get_progress / task_ids / run / failures / report_progress callback),
+  so the frontends swap executors behind a flag.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import sys
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .executor import MAX_RECORDED_FAILURES
+
+
+class OnlineBatchingExecutor:
+    """Drop-in Executor that coalesces live same-bucket jobs into vmapped
+    batches (the reference's 2-at-a-time semaphore, re-imagined for a
+    device that prefers one big batch over interleaved small jobs)."""
+
+    def __init__(self, config, report_progress=None, engine=None,
+                 verbose: bool = True, metrics=None, params=None,
+                 mesh=None, max_batch: Optional[int] = None,
+                 batch_window_s: float = 0.25,
+                 canonicalize: bool = True,
+                 batch_policy: str = "auto",
+                 queue_runner: Optional[Callable] = None):
+        # `engine` is accepted for signature parity with Executor but the
+        # unit of execution here is the batched queue; tests inject
+        # `queue_runner` instead.
+        del engine
+        self.__config = config
+        self.__report_progress = report_progress
+        self.__verbose = verbose
+        self.metrics = metrics
+        self.params = params
+        self.mesh = mesh
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self.canonicalize = canonicalize
+        self.batch_policy = batch_policy
+        self.queue_runner = queue_runner  # injectable (tests)
+        self.__progress: Dict[str, tuple] = {}
+        self.__progress_lock = asyncio.Lock()
+        self.__pending: List[Tuple[str, np.ndarray, np.ndarray]] = []
+        self.__pending_lock = asyncio.Lock()
+        self.__wake: Optional[asyncio.Event] = None
+        self.__dispatcher: Optional[asyncio.Task] = None
+        self.__busy = False
+        self.failures: Dict[str, BaseException] = {}
+        self.dispatch_rounds = 0  # observability: rounds actually run
+
+    # -- progress table (same copy-on-read contract as Executor) ----------
+
+    async def get_progress(self, key):
+        async with self.__progress_lock:
+            value = self.__progress[key]
+            return (value[0],
+                    value[1].copy() if value[1] is not None else None)
+
+    async def progress(self):
+        async with self.__progress_lock:
+            for pr in self.__progress.items():
+                yield pr
+
+    async def task_ids(self):
+        async with self.__progress_lock:
+            return list(self.__progress.keys())
+
+    async def set_progress(self, key, value):
+        async with self.__progress_lock:
+            self.__progress[key] = (
+                value[0], value[1].copy() if value[1] is not None else None)
+
+    # -- task intake -------------------------------------------------------
+
+    async def add_task(self, task_id: str, content_n_style):
+        """Queue a job; same-bucket jobs pending at dispatch time run as
+        one vmapped batch. Canonicalization (aspect-bucket crop + resize)
+        happens here so bucketing and the warmup shapes agree."""
+        content = np.asarray(content_n_style.content[1])
+        style = np.asarray(content_n_style.style[1])
+        if self.canonicalize:
+            from ..parallel.batch import (canonicalize_content,
+                                          canonicalize_style)
+
+            content = canonicalize_content(content, self.__config)
+            style = canonicalize_style(style, self.__config)
+        await self.set_progress(task_id, (-1, None))
+        if self.metrics is not None:
+            self.metrics.log("task_added", task=task_id)
+        async with self.__pending_lock:
+            self.__pending.append((task_id, content, style))
+        self._ensure_dispatcher()
+        self.__wake.set()
+        if self.__verbose:
+            print(f"Task {task_id} queued (online batching)")
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _ensure_dispatcher(self):
+        loop = asyncio.get_running_loop()
+        if self.__dispatcher is None or self.__dispatcher.done() \
+                or getattr(self, "_loop", None) is not loop:
+            # (re)create per event loop, like Executor's semaphore re-bind
+            self._loop = loop
+            self.__wake = asyncio.Event()
+            self.__dispatcher = loop.create_task(self._dispatch_loop())
+
+    async def _dispatch_loop(self):
+        while True:
+            await self.__wake.wait()
+            self.__wake.clear()
+            # coalescing window: let near-simultaneous requests (album
+            # uploads, demo-batch enqueue loops) join this round
+            if self.batch_window_s > 0:
+                await asyncio.sleep(self.batch_window_s)
+            async with self.__pending_lock:
+                jobs, self.__pending = self.__pending, []
+            if not jobs:
+                continue
+            self.__busy = True
+            try:
+                await self._run_round(jobs)
+            except Exception as e:  # noqa: BLE001 — keep serving
+                for tid, _c, _s in jobs:
+                    self._record_failure(tid, e)
+            finally:
+                self.__busy = False
+
+    async def _run_round(self, jobs):
+        from ..parallel.batch import run_job_queue
+
+        runner = self.queue_runner or run_job_queue
+        loop = asyncio.get_running_loop()
+        self.dispatch_rounds += 1
+        if self.__verbose:
+            print(f"online batch round: {len(jobs)} job(s)")
+
+        def progress_cb(tid, pct, img, loss):
+            # called from the worker thread: hop back into the loop
+            fut = asyncio.run_coroutine_threadsafe(
+                self._report(tid, pct, img, loss), loop)
+            fut.result()  # propagate errors, keep chunk pacing honest
+
+        results, failures = await loop.run_in_executor(
+            None, partial(
+                runner, jobs, self.__config, params=self.params,
+                mesh=self.mesh, progress=progress_cb,
+                batch_policy=self.batch_policy, max_batch=self.max_batch,
+                # shapes were canonicalized at add_task; re-canonicalizing
+                # inside the queue would be a no-op either way
+                canonicalize_styles=False, canonicalize_contents=False))
+        for tid in results:
+            if self.metrics is not None:
+                self.metrics.log("task_done", task=tid)
+            if self.__verbose:
+                print(f"Task {tid} done")
+        for tid, exc in failures.items():
+            self._record_failure(tid, exc)
+
+    async def _report(self, tid, pct, img, loss):
+        await self.set_progress(tid, (pct, img))
+        if self.metrics is not None:
+            self.metrics.log("progress", task=tid, percent=pct, loss=loss)
+        if self.__report_progress is not None:
+            await self.__report_progress(tid, (pct, img))
+
+    def _record_failure(self, tid, exc):
+        self.failures[tid] = exc
+        while len(self.failures) > MAX_RECORDED_FAILURES:
+            self.failures.pop(next(iter(self.failures)))
+        print(f"Task {tid} FAILED: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        if self.metrics is not None:
+            self.metrics.log("task_failed", task=tid)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def run(self, forever: bool = False):
+        """Wait until every queued job has been dispatched and finished;
+        with forever=True keep serving (Executor.run contract)."""
+        self._ensure_dispatcher()
+        while True:
+            while True:
+                async with self.__pending_lock:
+                    idle = not self.__pending
+                if idle and not self.__busy and not self.__wake.is_set():
+                    break
+                await asyncio.sleep(0.02)
+            if not forever:
+                return
+            await asyncio.sleep(0.5)
