@@ -78,7 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_jobs(args: argparse.Namespace):
-    """(task_id, content, style) triples from --manifest + --pair."""
+    """Returns (jobs, load_failures): (task_id, content, style) triples from
+    --manifest + --pair, plus {task_id: exception} for jobs whose images
+    failed to load.
+
+    A missing or corrupt image file fails ONLY that job (it lands in the
+    failures dict → stderr + exit code, like a failed bucket) instead of
+    killing the whole queue before run_job_queue's per-bucket isolation can
+    help. Malformed manifest STRUCTURE (invalid JSON, missing keys) still
+    raises — that is a broken manifest, not a bad job. The reference
+    raises on the first missing file (reference lab.py:117-118)."""
     specs = []
     if args.manifest:
         with open(args.manifest) as f:
@@ -102,7 +111,7 @@ def load_jobs(args: argparse.Namespace):
     if not specs:
         raise ValueError("no jobs: pass --manifest and/or --pair")
 
-    jobs, used = [], set()
+    jobs, load_failures, used = [], {}, set()
     for tid, c_path, s_path in specs:
         if tid is None:
             stem = lambda p: os.path.splitext(os.path.basename(p))[0]
@@ -112,8 +121,11 @@ def load_jobs(args: argparse.Namespace):
             k += 1
             tid = f"{base}_{k}"
         used.add(tid)
-        jobs.append((tid, load_image(c_path), load_image(s_path)))
-    return jobs
+        try:
+            jobs.append((tid, load_image(c_path), load_image(s_path)))
+        except Exception as e:  # noqa: BLE001 — per-job isolation
+            load_failures[tid] = e
+    return jobs, load_failures
 
 
 def main(argv=None) -> int:
@@ -126,7 +138,7 @@ def main(argv=None) -> int:
         parser.error("--resume requires --checkpoint-dir")
     cfg = config_from_args(args)
 
-    jobs = load_jobs(args)
+    jobs, load_failures = load_jobs(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     params = None
@@ -158,6 +170,7 @@ def main(argv=None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             resume=args.resume)
+        failures = {**load_failures, **failures}
 
         for tid, img in results.items():
             save_image(np.clip(img, 0, 1),

@@ -1,0 +1,153 @@
+"""Wall-clock-to-converged-image benchmark (VERDICT r3 #2).
+
+BASELINE.json's driver metric is "optimizer steps/sec + wall-clock to
+converged image"; bench.py measures the first. This script measures the
+second: the quality-normalized target is the final loss of the EXACT
+REFERENCE SEMANTICS run (L-BFGS max_ls=0 — torch's accidental
+zero-line-search configuration, PARITY.md optimizer notes — for
+config.iters_num=500 steps, reference config.py:13), and each candidate
+optimizer config runs until its in-graph loss first reaches that target,
+reporting steps and wall seconds.
+
+This turns the repo's biggest semantic deviation-by-default — the full
+strong-Wolfe line search (config.py lbfgs_max_ls_steps=25) — from
+"converges far faster per step" (asserted) into a measured
+seconds-to-quality number.
+
+Protocol (tunnel-aware, CLAUDE.md):
+- per-config warmup run of one chunk first (compile excluded from timing);
+- fresh state, then timed chunks with a single scalar loss fetch per
+  chunk (the device sync point);
+- final image re-scored under ONE shared f32 metric graph so bf16 and f32
+  runs are compared on the same scale.
+
+Usage: python scripts/time_to_target.py [--size 512|1024] [--steps-cap N]
+       [--chunk K] [--out results.json]
+Run on the real chip (axon); ~20-40 min at 1024 including compiles.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from artstyletransfer_tpu.config import Config, production_config  # noqa: E402
+from artstyletransfer_tpu.engine.transfer import TransferJob  # noqa: E402
+from artstyletransfer_tpu.models.weights import load_vgg19_params  # noqa: E402
+from artstyletransfer_tpu.utils.image import load_image  # noqa: E402
+
+CONTENT = "/root/reference/data/content-images/bird.jpg"
+STYLE = "/root/reference/data/style-images/vg_starry_night.jpg"
+
+
+def base_config(size: int) -> Config:
+    if size == 512:
+        return Config(levels_num=2, iters_num=500)
+    if size == 1024:
+        return Config(levels_num=3, iters_num=500)
+    raise ValueError(size)
+
+
+def candidates(cfg: Config):
+    """(name, config) rows; all at production (bf16) precision."""
+    prod = production_config(cfg)
+    return [
+        ("lbfgs_ref_semantics", dataclasses.replace(
+            prod, optimizer="lbfgs", lbfgs_max_ls_steps=0)),
+        ("lbfgs_full_wolfe", dataclasses.replace(
+            prod, optimizer="lbfgs", lbfgs_max_ls_steps=25)),
+        ("adam", dataclasses.replace(prod, optimizer="adam")),
+    ]
+
+
+def run_to_target(job: TransferJob, target: float, steps_cap: int,
+                  chunk: int):
+    """(steps, wall_s, loss) at the first chunk boundary whose loss <=
+    target (or the cap). A full warmup chunk (same static chunk size =
+    same executable) runs first so compile is excluded from the timing."""
+    for _ in job.run(iters_num=chunk, stream_every=chunk,
+                     yield_images=False):
+        pass  # compile + warm the executable; state is discarded
+
+    t0 = time.perf_counter()
+    last = (0, float("inf"))
+    for done, _img, f in job.run(iters_num=steps_cap, stream_every=chunk,
+                                 yield_images=False):
+        f = float(f)  # single scalar fetch = the device sync point
+        last = (done, f)
+        if f <= target:
+            break
+    wall = time.perf_counter() - t0
+    return last[0], wall, last[1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512, choices=(512, 1024))
+    ap.add_argument("--steps-cap", type=int, default=1500)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    content = load_image(CONTENT)
+    style = load_image(STYLE)
+    params = load_vgg19_params(seed=0)
+    cfg = base_config(args.size)
+
+    # ---- the quality target: exact reference semantics, 500 steps -------
+    name0, ref_cfg = candidates(cfg)[0]
+    print(f"[target] running {name0} for {cfg.iters_num} steps ...",
+          file=sys.stderr)
+    ref_job = TransferJob(content, style, ref_cfg, params=params)
+    t0 = time.perf_counter()
+    steps0, wall0, target = run_to_target(ref_job, -np.inf, cfg.iters_num,
+                                          args.chunk)
+    print(f"[target] loss {target:.6e} after {steps0} steps "
+          f"({wall0:.1f}s)", file=sys.stderr)
+
+    # shared f32 metric graph for the cross-precision final check
+    f32_cfg = dataclasses.replace(cfg, compute_dtype="float32",
+                                  optimizer="adam")
+    metric_job = TransferJob(content, style, f32_cfg, params=params)
+
+    rows = [{"config": name0, "role": "target",
+             "steps": steps0, "wall_s": round(wall0, 2),
+             "loss": target,
+             "steps_per_s": round(steps0 / wall0, 3)}]
+    for name, c in candidates(cfg)[1:]:
+        print(f"[run] {name} to target ...", file=sys.stderr)
+        job = TransferJob(content, style, c, params=params)
+        steps, wall, loss = run_to_target(job, target, args.steps_cap,
+                                          args.chunk)
+        # re-score under the shared f32 metric graph (deterministic
+        # re-run to the same step, reusing the warmed chunk executable)
+        final_img = None
+        for _d, img, _f in job.run(iters_num=steps, stream_every=chunk,
+                                   yield_images=False):
+            final_img = img
+        f32_loss, _ = metric_job.loss_report(final_img)
+        rows.append({
+            "config": name, "role": "candidate",
+            "steps": steps, "wall_s": round(wall, 2),
+            "loss": loss, "f32_loss": f32_loss,
+            "reached": bool(loss <= target),
+            "steps_per_s": round(steps / wall, 3),
+            "speedup_vs_target_wall": round(wall0 / wall, 2),
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    out = {"size": args.size, "target_loss": target,
+           "chunk": args.chunk, "rows": rows}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

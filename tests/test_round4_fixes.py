@@ -1,0 +1,259 @@
+"""Round-4 hardening: per-job load-failure isolation (queue CLI + lab),
+bounded executor failure table, and the explicit max_batch/jobs-axis cap."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from artstyletransfer_tpu.config import Config
+from artstyletransfer_tpu.parallel.batch import resolve_group_cap
+from artstyletransfer_tpu.runtime import executor as executor_mod
+from artstyletransfer_tpu.runtime.executor import Executor
+
+
+# ---------------------------------------------------------------------------
+# Per-job load-failure isolation
+# ---------------------------------------------------------------------------
+
+def _write_demo_images(tmp_path):
+    import cv2
+
+    for sub in ("content-images", "style-images"):
+        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype("uint8")
+    cv2.imwrite(str(tmp_path / "content-images" / "c.jpg"), img)
+    cv2.imwrite(str(tmp_path / "style-images" / "s.jpg"), img)
+
+
+def test_queue_cli_load_jobs_isolates_bad_images(tmp_path):
+    """A missing/corrupt image fails only its job; the rest load."""
+    from artstyletransfer_tpu.frontends import queue_cli
+
+    _write_demo_images(tmp_path)
+    c = str(tmp_path / "content-images" / "c.jpg")
+    s = str(tmp_path / "style-images" / "s.jpg")
+    corrupt = tmp_path / "corrupt.jpg"
+    corrupt.write_bytes(b"not a jpeg")
+    manifest = tmp_path / "jobs.jsonl"
+    manifest.write_text(
+        json.dumps({"id": "good", "content": c, "style": s}) + "\n"
+        + json.dumps({"id": "missing", "content": str(tmp_path / "no.jpg"),
+                      "style": s}) + "\n"
+        + json.dumps({"id": "corrupt", "content": str(corrupt),
+                      "style": s}) + "\n")
+    ns = queue_cli.build_parser().parse_args(
+        ["--manifest", str(manifest), "--output-dir", str(tmp_path)])
+    jobs, load_failures = queue_cli.load_jobs(ns)
+    assert [j[0] for j in jobs] == ["good"]
+    assert sorted(load_failures) == ["corrupt", "missing"]
+    for exc in load_failures.values():
+        assert isinstance(exc, Exception)
+
+
+def test_queue_cli_load_failure_exit_code_and_completion(tmp_path, capsys):
+    """End-to-end: one bad image path -> that job fails (exit code 1,
+    stderr, metrics) while the good job completes and is written."""
+    from artstyletransfer_tpu.frontends import queue_cli
+
+    _write_demo_images(tmp_path)
+    c = str(tmp_path / "content-images" / "c.jpg")
+    s = str(tmp_path / "style-images" / "s.jpg")
+    manifest = tmp_path / "jobs.jsonl"
+    manifest.write_text(
+        json.dumps({"id": "good", "content": c, "style": s}) + "\n"
+        + json.dumps({"id": "bad", "content": str(tmp_path / "no.jpg"),
+                      "style": s}) + "\n")
+    out = tmp_path / "out"
+    metrics = tmp_path / "m.jsonl"
+    rc = queue_cli.main([
+        "--manifest", str(manifest), "--output-dir", str(out),
+        "--metrics", str(metrics), "--optimizer", "adam", "--levels", "1",
+        "--iters", "2", "--base-diameter", "16", "--stream-every", "2",
+        "--compute-dtype", "float32", "--quiet"])
+    assert rc == 1
+    assert [p.name for p in out.glob("*.jpg")] == ["good.jpg"]
+    assert "FAILED bad" in capsys.readouterr().err
+    events = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert {"event": "task_failed", "task": "bad"} == \
+        {k: v for k, v in events[-1].items() if k in ("event", "task")}
+
+
+def test_lab_load_failure_renders_failed_card(tmp_path):
+    """A pair whose image is missing renders a FAILED card; the other
+    pairs still run (the reference raises on the first missing file,
+    reference lab.py:117-118)."""
+    aiohttp = pytest.importorskip("aiohttp")  # noqa: F841
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from artstyletransfer_tpu.frontends.lab import create_app
+
+    _write_demo_images(tmp_path)
+
+    async def fake_engine(pair, *args, **kwargs):
+        yield 100.0, np.full((8, 8, 3), 0.5, np.float32)
+
+    executor_mod.reset_semaphore()
+    app = create_app(config=Config(iters_num=2), data_dir=str(tmp_path),
+                     pairs=[("c.jpg", "s.jpg"), ("missing.jpg", "s.jpg")],
+                     engine=fake_engine)
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for _ in range(100):
+                await asyncio.sleep(0.05)
+                ids = await app["executor"].task_ids()
+                if len(ids) == 2 and app["executor"].failures:
+                    break
+            ids = await app["executor"].task_ids()
+            assert len(ids) == 2
+            assert len(app["executor"].failures) == 1
+            resp = await client.get("/")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "FAILED" in html
+        finally:
+            await client.close()
+
+    asyncio.run(go())
+    executor_mod.reset_semaphore()
+
+
+# ---------------------------------------------------------------------------
+# Bounded failure table
+# ---------------------------------------------------------------------------
+
+def test_executor_failures_bounded(monkeypatch):
+    """A long-lived serving process must not grow .failures forever;
+    the oldest entries age out past MAX_RECORDED_FAILURES."""
+    monkeypatch.setattr(executor_mod, "MAX_RECORDED_FAILURES", 5)
+
+    async def failing_engine(pair, *args, **kwargs):
+        raise RuntimeError("boom")
+        yield  # pragma: no cover — makes this an async generator
+
+    async def go():
+        executor_mod.reset_semaphore()
+        ex = Executor(Config(iters_num=1), engine=failing_engine,
+                      verbose=False)
+        for i in range(8):
+            await ex.add_task(f"t{i}", object())
+        await ex.run()
+        return ex
+
+    ex = asyncio.run(go())
+    executor_mod.reset_semaphore()
+    assert len(ex.failures) == 5
+    # insertion order: the oldest three aged out
+    assert sorted(ex.failures) == ["t3", "t4", "t5", "t6", "t7"]
+
+
+# ---------------------------------------------------------------------------
+# Reshape pool (the space-sharding-clean lowering)
+# ---------------------------------------------------------------------------
+
+def test_pool_impls_identical_forward():
+    """'reshape' (the space-sharded default since round 4) must match
+    'reduce_window' and 'slices' exactly, including odd-dim flooring."""
+    import jax.numpy as jnp
+
+    from artstyletransfer_tpu.models.vgg19 import _maxpool2
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 8, 12, 4), (1, 7, 9, 4), (2, 16, 16, 3)):
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        ref = np.asarray(_maxpool2(x, "reduce_window"))
+        np.testing.assert_array_equal(np.asarray(_maxpool2(x, "slices")), ref)
+        np.testing.assert_array_equal(np.asarray(_maxpool2(x, "reshape")), ref)
+
+
+def test_constrained_space_gate_and_numerics(vgg_params):
+    """The constrained sharded graph's safety gate: shapes below
+    32*space at the lowest pyramid level are excluded (one such shape
+    measurably MISCOMPUTED relu5_1 by 16x in the value_and_grad graph —
+    round-4 finding), and at a gate-passing shape the constrained batch
+    loss must equal the single-chip batch loss."""
+    import jax.numpy as jnp
+
+    from artstyletransfer_tpu.config import Config as Cfg
+    from artstyletransfer_tpu.parallel.batch import (BatchedTransferJob,
+                                                     constrained_space_ok)
+    from artstyletransfer_tpu.parallel.mesh import jobs_space_mesh
+
+    # gate arithmetic: lowest level shortest side >= 32 * space
+    assert not constrained_space_ok([(1, 64, 64, 3), (1, 32, 32, 3)], 2)
+    assert constrained_space_ok([(1, 128, 128, 3), (1, 64, 64, 3)], 2)
+    assert constrained_space_ok([(1, 2048, 3072, 3), (1, 1024, 1536, 3),
+                                 (1, 512, 768, 3), (1, 256, 384, 3)], 8)
+    assert not constrained_space_ok([(1, 256, 384, 3)], 16)
+
+    # numeric agreement at a gate-passing shape (1 level, 64px, space=2)
+    cfg = Cfg(levels_num=1, iters_num=1, base_diameter=64,
+              optimizer="adam", stream_every=1)
+    rng = np.random.default_rng(7)
+    contents = [rng.random((64, 64, 3)).astype(np.float32)
+                for _ in range(4)]
+    styles = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(4)]
+    mesh = jobs_space_mesh(4, 2)
+    cons = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
+                              mesh=mesh, shard_space=True)
+    assert cons.cfg.pool_impl == "reshape"  # the constrained path engaged
+    single = BatchedTransferJob(contents, styles, cfg, params=vgg_params)
+    x = jnp.array(cons._x0, copy=True)
+    st = cons._init_fn(cons.params, cons.targets, x)
+    _x, _st, f_cons = cons._chunk_fn(cons.params, cons.targets, x, st,
+                                     jnp.int32(0), 1)
+    x1 = jnp.array(single._x0, copy=True)
+    st1 = single._init_fn(single.params, single.targets, x1)
+    _x1, _st1, f_one = single._chunk_fn(single.params, single.targets, x1,
+                                        st1, jnp.int32(0), 1)
+    np.testing.assert_allclose(np.asarray(f_cons), np.asarray(f_one),
+                               rtol=1e-4)
+
+    # a below-gate shape must fall back to the legacy (un-constrained)
+    # path rather than compute on the degenerate sharded graph
+    cfg_small = Cfg(levels_num=2, iters_num=1, base_diameter=32,
+                    optimizer="adam", stream_every=1)
+    small = BatchedTransferJob(contents, styles, cfg_small,
+                               params=vgg_params, mesh=mesh,
+                               shard_space=True)
+    assert small.cfg.pool_impl == "slices"  # legacy SPMD pool, no constraints
+
+
+def test_extract_features_pool_impls_agree(vgg_params):
+    from artstyletransfer_tpu.models.vgg19 import extract_features
+
+    rng = np.random.default_rng(4)
+    x = rng.random((1, 32, 48, 3)).astype(np.float32)
+    feats = {impl: extract_features(vgg_params, x, pool_impl=impl)
+             for impl in ("reduce_window", "slices", "reshape")}
+    for a, b in zip(feats["reduce_window"], feats["reshape"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(feats["slices"], feats["reshape"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Explicit max_batch vs the mesh jobs axis
+# ---------------------------------------------------------------------------
+
+def test_resolve_group_cap_respects_jobs_axis():
+    cfg = Config(optimizer="adam", levels_num=1, base_diameter=16)
+    shape = (16, 24, 3)
+    # explicit cap rounds DOWN to a multiple of the jobs axis so padding
+    # cannot exceed it (6 jobs on a 4-way axis would pad a group of 6 to 8)
+    assert resolve_group_cap(cfg, shape, 4, "batched", 6) == 4
+    assert resolve_group_cap(cfg, shape, 4, "batched", 8) == 8
+    assert resolve_group_cap(cfg, shape, 1, "batched", 6) == 6
+    # a cap below one axis-width is kept (padding to the axis is the
+    # smallest physically runnable batch) and never rounds to zero
+    assert resolve_group_cap(cfg, shape, 4, "batched", 3) == 3
+    # sequential policy always runs one at a time
+    assert resolve_group_cap(cfg, shape, 4, "sequential", 6) == 1
+    # default path: HBM-aware per-device cap x jobs axis
+    assert resolve_group_cap(cfg, shape, 2, "batched", None) == \
+        2 * resolve_group_cap(cfg, shape, 1, "batched", None)
