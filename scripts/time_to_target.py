@@ -50,6 +50,8 @@ def base_config(size: int) -> Config:
         return Config(levels_num=2, iters_num=500)
     if size == 1024:
         return Config(levels_num=3, iters_num=500)
+    if size == 16:  # CPU smoke (validates the protocol, not the numbers)
+        return Config(levels_num=1, iters_num=20, base_diameter=16)
     raise ValueError(size)
 
 
@@ -88,7 +90,8 @@ def run_to_target(job: TransferJob, target: float, steps_cap: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512, choices=(512, 1024))
+    ap.add_argument("--size", type=int, default=512,
+                    choices=(16, 512, 1024))
     ap.add_argument("--steps-cap", type=int, default=1500)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--out", default=None)
@@ -127,7 +130,7 @@ def main():
         # re-score under the shared f32 metric graph (deterministic
         # re-run to the same step, reusing the warmed chunk executable)
         final_img = None
-        for _d, img, _f in job.run(iters_num=steps, stream_every=chunk,
+        for _d, img, _f in job.run(iters_num=steps, stream_every=args.chunk,
                                    yield_images=False):
             final_img = img
         f32_loss, _ = metric_job.loss_report(final_img)
