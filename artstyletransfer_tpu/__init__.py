@@ -19,6 +19,17 @@ citations; the implementation is new and TPU-idiomatic throughout.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("ASTT_PLATFORM"):
+    # Deployment knob for hosts whose site config pre-imports JAX and pins
+    # a platform before JAX_PLATFORMS can take effect: jax.config.update
+    # still wins as long as no op has executed, so applying it at package
+    # import covers every entry point (CLI, lab, bot, queue, scripts).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ASTT_PLATFORM"])
+
 from .config import Config, simultaneous_tasks_count  # noqa: F401
 
 

@@ -152,8 +152,16 @@ def create_app(config=None, data_dir: str = None, pairs=None,
             await executor.set_progress(tid, (-1, None))
 
         def report(tid, pct, img, loss):
-            asyncio.run_coroutine_threadsafe(
-                executor.set_progress(tid, (pct, img)), loop).result()
+            try:
+                asyncio.run_coroutine_threadsafe(
+                    executor.set_progress(tid, (pct, img)), loop).result()
+            except RuntimeError:
+                # server shutting down (loop closed) mid-batch: drop the
+                # progress update instead of failing the whole bucket —
+                # SIGTERM during a drive must not record spurious job
+                # failures (observed: "Event loop is closed" marked every
+                # in-flight job failed on a clean Ctrl-C)
+                return
             if metrics is not None:
                 # the batched queue bypasses Executor.__report, so emit the
                 # structured progress event here (with the real loss)
@@ -300,6 +308,9 @@ def main(argv=None) -> int:
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--no-autostart", action="store_true",
                         help="do not enqueue the demo batch on startup")
+    parser.add_argument("--max-pairs", type=int, default=None,
+                        help="truncate the demo batch to the first N pairs "
+                             "(rehearsals/smoke drives; default: all 20)")
     parser.add_argument("--batched", action="store_true",
                         help="run the demo queue through the mesh-batched "
                              "TPU executor instead of 2-at-a-time")
@@ -320,7 +331,9 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     else:
         cfg = production_config(cfg)
-    app = create_app(config=cfg, data_dir=args.data_dir,
+    pairs = (CONTENT_STYLE_FILENAME_PAIRS[:args.max_pairs]
+             if args.max_pairs else None)
+    app = create_app(config=cfg, data_dir=args.data_dir, pairs=pairs,
                      autostart=not args.no_autostart, batched=args.batched,
                      online=args.online, metrics_path=args.metrics)
     web.run_app(app, host=args.host, port=args.port)

@@ -1,0 +1,148 @@
+"""Product drive: the full 20-pair lab demo on real hardware (VERDICT r3 #7).
+
+Runs the ACTUAL product — `astt-lab --batched` as a real server process,
+autostarting the same 20-pair demo batch the reference's lab serves
+(reference lab.py:79-107) — and measures it end-to-end from process start
+to the last job's final chunk, compiles included. Progress is observed the
+same way a user's browser would plus the structured metrics JSONL; at the
+end the index page is scraped to confirm every card rendered (and none
+failed), and one generated image is fetched through the real route.
+
+Usage (on the real chip):
+  python scripts/drive_lab_demo.py [--port 8123] [--timeout 7200]
+Prints one JSON summary line on stdout (logs to stderr).
+"""
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+import urllib.request
+
+N_PAIRS = 20
+
+
+def read_metrics(path):
+    """{task_id: last_percent}, {task_id: n_progress_events}, n_lines."""
+    pct, events, lines = {}, {}, 0
+    if not os.path.exists(path):
+        return pct, events, lines
+    with open(path) as f:
+        for line in f:
+            lines += 1
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("event") == "progress":
+                tid = rec["task"]
+                pct[tid] = max(pct.get(tid, 0.0), float(rec["percent"]))
+                events[tid] = events.get(tid, 0) + 1
+    return pct, events, lines
+
+
+def count_failed_cards(base):
+    """Failed cards on the index page (terminal: they will never reach
+    100% in the metrics stream)."""
+    try:
+        html = urllib.request.urlopen(f"{base}/", timeout=10).read().decode()
+    except Exception:
+        return 0
+    return len(re.findall(r'class="card failed"', html))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8123)
+    ap.add_argument("--timeout", type=float, default=7200)
+    ap.add_argument("--metrics", default="/tmp/drive_lab_metrics.jsonl")
+    ap.add_argument("--data-dir", default="/root/reference/data",
+                    help="content/style image corpus for the demo pairs")
+    ap.add_argument("--iters", type=int, default=500,
+                    help="iters_num of the preset driven (500 = standard "
+                         "lab demo; used only for the job-steps/s figure)")
+    ap.add_argument("--pairs", type=int, default=N_PAIRS,
+                    help="demo pairs to drive (forwarded to the lab as "
+                         "--max-pairs when < 20; rehearsals only)")
+    # unknown flags pass through to astt-lab (e.g. --preset smoke for a
+    # CPU rehearsal)
+    args, extra = ap.parse_known_args()
+    if extra and extra[0] == "--":  # allow `drive ... -- --preset smoke`
+        extra = extra[1:]
+
+    if os.path.exists(args.metrics):
+        os.remove(args.metrics)
+
+    cmd = [sys.executable, "-m", "artstyletransfer_tpu.frontends.lab",
+           "--batched", "--port", str(args.port),
+           "--data-dir", args.data_dir,
+           "--metrics", args.metrics] + extra
+    if args.pairs < N_PAIRS:
+        cmd += ["--max-pairs", str(args.pairs)]
+    print(f"[drive] {' '.join(cmd)}", file=sys.stderr)
+    t0 = time.perf_counter()
+    log = open(args.metrics + ".serverlog", "w")
+    proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
+    base = f"http://127.0.0.1:{args.port}"
+    done_wall = None
+    try:
+        last_report = 0.0
+        while True:
+            wall = time.perf_counter() - t0
+            if wall > args.timeout:
+                raise TimeoutError(f"demo not finished in {wall:.0f}s")
+            if proc.poll() is not None:
+                raise RuntimeError(f"lab exited early rc={proc.returncode}")
+            pct, events, _ = read_metrics(args.metrics)
+            n_done = sum(1 for v in pct.values() if v >= 100.0)
+            n_failed = count_failed_cards(base)
+            if wall - last_report >= 60:
+                print(f"[drive] {wall:7.1f}s: {len(pct)} tasks seen, "
+                      f"{n_done} done, {n_failed} failed", file=sys.stderr)
+                last_report = wall
+            if n_done + n_failed >= args.pairs:
+                done_wall = wall
+                break
+            time.sleep(5)
+
+        # confirm through the product surface: every card rendered, no
+        # failures, and one generated image serves
+        html = urllib.request.urlopen(f"{base}/", timeout=30).read().decode()
+        n_cards = len(re.findall(r"/generated/[0-9a-f-]{36}", html))
+        failed = len(re.findall(r'class="card failed"', html))
+        ids = re.findall(r"/generated/([0-9a-f-]{36})", html)
+        image_bytes = 0
+        if ids:
+            image_bytes = len(urllib.request.urlopen(
+                f"{base}/generated/{ids[0]}", timeout=60).read())
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+    pct, events, _ = read_metrics(args.metrics)
+    n_done = sum(1 for v in pct.values() if v >= 100.0)
+    total_job_steps = n_done * args.iters
+    out = {
+        "pairs": args.pairs,
+        "wall_s": round(done_wall, 1),
+        "job_steps_per_s_incl_compiles": round(total_job_steps / done_wall,
+                                               2),
+        "tasks_seen": len(pct),
+        "tasks_done": n_done,
+        "progress_events": sum(events.values()),
+        "cards_on_index": n_cards,
+        "failed_markers_on_index": failed,
+        "sample_image_bytes": image_bytes,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
