@@ -253,9 +253,41 @@ def measure_torch_baseline(content, style, cfg, n_steps=3) -> float:
     return sps
 
 
+def require_device(timeout_s: float) -> None:
+    """Bounded first contact with the device. The remote TPU tunnel can be
+    down (observed 2026-08-18: jax.devices() blocked >9 min during an axon
+    outage); a bench that hangs forever leaves the driver with no JSON at
+    all, so probe in a daemon thread and emit a diagnosable error line
+    instead."""
+    import threading
+
+    got = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        got.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if got.wait(timeout_s):
+        return
+    print(json.dumps({
+        "metric": "optimizer steps/sec (device unreachable)",
+        "value": 0.0,
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "error": f"jax device init did not complete in {timeout_s:.0f}s "
+                 "(TPU tunnel down?)",
+    }), flush=True)
+    os._exit(1)
+
+
 def main():
     from artstyletransfer_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    require_device(float(os.environ.get("ASTT_BENCH_DEVICE_TIMEOUT", "600")))
 
     from artstyletransfer_tpu.config import Config
 
