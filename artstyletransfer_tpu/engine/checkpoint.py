@@ -76,7 +76,11 @@ def load_checkpoint(path: str, opt_state_template: Any,
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected "
                 f"{np.shape(leaf)} (different config/shape?)")
-        want_dtype = np.asarray(leaf).dtype
+        # metadata-only dtype read: np.asarray(leaf) would materialize the
+        # leaf device-to-host (an L-BFGS history template is GBs, and this
+        # host's tunnel moves ~4.5 MB/s — a resume must not fetch it)
+        want_dtype = (leaf.dtype if hasattr(leaf, "dtype")
+                      else np.asarray(leaf).dtype)
         if arr.dtype != want_dtype:
             raise ValueError(
                 f"checkpoint leaf {i} dtype {arr.dtype} != expected "

@@ -24,28 +24,44 @@ from ..parallel.batch import (DEFAULT_ASPECT_BUCKETS,  # noqa: F401
 def warmup_aspect_buckets(cfg: Config, params=None,
                           aspects: Sequence[float] = DEFAULT_ASPECT_BUCKETS,
                           verbose: bool = True,
-                          steps: Optional[int] = None) -> int:
+                          steps: Optional[int] = None,
+                          batch_sizes: Optional[Sequence[int]] = None) -> int:
     """Compile and run one chunk of the engine for every aspect bucket.
 
-    Returns the number of buckets warmed. Uses dummy images; the compiled
-    executables are keyed only by shape + config, so subsequent real jobs
-    (canonicalized to these buckets) reuse them.
+    Returns the number of executables warmed. Uses dummy images; the
+    compiled executables are keyed only by shape + config, so subsequent
+    real jobs (canonicalized to these buckets) reuse them.
+
+    batch_sizes warms the VMAPPED batched runners instead (one executable
+    per (bucket, size)) — the graphs online batching actually dispatches
+    when its policy routes a round batched. Pass the same power-of-two
+    sizes the online executor pads to (runtime/online.py pad_batches), so
+    no coalesced round ever hits a cold compile mid-serve.
     """
     from .transfer import TransferJob
 
     n = 0
     for aspect in aspects:
         h, w = bucket_content_shape(aspect, cfg)
-        t0 = time.time()
         content = np.full((h, w, 3), 0.5, np.float32)
         style = np.full((cfg.base_diameter, cfg.base_diameter, 3), 0.5,
                         np.float32)
-        job = TransferJob(content, style, cfg, params=params)
         k = steps if steps is not None else cfg.stream_every
-        for _ in job.run(iters_num=k, stream_every=k, yield_images=False):
-            pass
-        n += 1
-        if verbose:
-            print(f"warmup: aspect {aspect:.3f} ({h}x{w}) ready in "
-                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+        for size in (batch_sizes or (None,)):
+            t0 = time.time()
+            if size is None:
+                job = TransferJob(content, style, cfg, params=params)
+            else:
+                from ..parallel.batch import BatchedTransferJob
+
+                job = BatchedTransferJob([content] * size, [style] * size,
+                                         cfg, params=params)
+            for _ in job.run(iters_num=k, stream_every=k,
+                             yield_images=False):
+                pass
+            n += 1
+            if verbose:
+                tag = "" if size is None else f" batch={size}"
+                print(f"warmup: aspect {aspect:.3f} ({h}x{w}){tag} ready "
+                      f"in {time.time() - t0:.1f}s", file=sys.stderr)
     return n

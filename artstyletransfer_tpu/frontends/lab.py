@@ -80,8 +80,17 @@ def create_app(config=None, data_dir: str = None, pairs=None,
     online=True serves LIVE tasks through the online batching executor
     (runtime/online.py): tasks added while the chip is busy coalesce into
     the next vmapped batch round instead of running 2-at-a-time — same
-    routes, same progress table, reference-parity outputs.
+    routes, same progress table. Online serving canonicalizes inputs onto
+    the aspect-bucket shapes (crop + resize, like the bot's
+    --canonicalize) so concurrent jobs can share compiled graphs; output
+    geometry therefore follows the serving buckets, not the exact source
+    aspect (use the default or --batched paths for native-shape outputs).
     """
+    if engine is not None and online and executor is None:
+        raise ValueError("engine injection is not supported with "
+                         "online=True (the online executor's unit of "
+                         "execution is the batched queue; inject "
+                         "executor= or queue_runner instead)")
     config = config or STANDARD_GAUSS_NOISE_CONFIG
     data_dir = data_dir or default_data_dir()
     results_dir = results_dir or os.environ.get(
@@ -123,9 +132,11 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         return out
 
     async def _record_load_failure(task_id, error):
+        from ..runtime.executor import record_failure
+
         # seed the progress table so the card exists, then mark it failed
         await executor.set_progress(task_id, (-1, None))
-        executor.failures[task_id] = error
+        record_failure(executor.failures, task_id, error)
 
     async def backend_task(app):
         for c_name, content, s_name, style, err in _load_pairs():
@@ -170,10 +181,12 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         _results, failures = await loop.run_in_executor(
             None, lambda: run_job_queue(jobs, config, progress=report,
                                         canonicalize_styles=True))
+        from ..runtime.executor import record_failure
+
         # surface failed jobs: record the exception and mark the card so
         # it renders as an error instead of a forever-stuck progress bar
         for tid, exc in failures.items():
-            executor.failures[tid] = exc
+            record_failure(executor.failures, tid, exc)
 
     async def index(request: web.Request) -> web.Response:
         cards = []

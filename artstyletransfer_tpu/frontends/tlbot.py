@@ -305,7 +305,10 @@ def main(argv=None) -> int:
     parser.add_argument("--warmup", action="store_true",
                         help="precompile all aspect buckets before polling "
                              "(implies --canonicalize; first users then "
-                             "skip the minutes-long cold compile)")
+                             "skip the minutes-long cold compile). With "
+                             "--online-batching this warms the vmapped "
+                             "batched executables at the padded batch "
+                             "sizes online rounds dispatch")
     parser.add_argument("--online-batching", action="store_true",
                         help="coalesce concurrent jobs sharing a canonical "
                              "shape bucket into one vmapped batch instead "
@@ -333,7 +336,20 @@ def main(argv=None) -> int:
     if args.warmup:
         from ..engine.warmup import warmup_aspect_buckets
 
-        warmup_aspect_buckets(cfg)
+        sizes = None
+        if args.online_batching:
+            from ..parallel.batch import resolve_batch_policy
+
+            # online serving ALWAYS dispatches through BatchedTransferJob
+            # (a separate executable from the single-job graph, even at
+            # batch 1): warm the power-of-two sizes the pad policy can
+            # produce when rounds route batched, or just batch 1 for a
+            # sequential-routed config (full-Wolfe L-BFGS runs jobs one
+            # at a time by measured policy)
+            sizes = ((1, 2, 4)
+                     if resolve_batch_policy(cfg, "auto") == "batched"
+                     else (1,))
+        warmup_aspect_buckets(cfg, batch_sizes=sizes)
     metrics = None
     if args.metrics:
         from ..utils.metrics import MetricsLogger

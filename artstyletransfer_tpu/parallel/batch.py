@@ -116,7 +116,8 @@ class BatchedTransferJob:
                  styles: Sequence[np.ndarray], cfg: Config, params=None,
                  mesh: Optional[Mesh] = None,
                  shard_space: bool = False,
-                 init_overrides: Optional[Sequence[np.ndarray]] = None):
+                 init_overrides: Optional[Sequence[np.ndarray]] = None,
+                 pad_batch_to: Optional[int] = None):
         assert len(contents) == len(styles) and contents
         self.cfg = cfg
         self.batch = len(contents)
@@ -139,6 +140,18 @@ class BatchedTransferJob:
         contents = list(contents)
         styles = list(styles)
         init_overrides = list(init_overrides) if init_overrides else None
+        if pad_batch_to is not None:
+            # explicit size padding: XLA compiles one executable per batch
+            # size (minutes each through a remote tunnel), so serving pads
+            # rounds up to a small set of sizes (powers of two — see
+            # run_job_queue pad_batches) instead of compiling every size a
+            # coalescing window happens to produce
+            while len(contents) < pad_batch_to:
+                contents.append(contents[-1])
+                styles.append(styles[-1])
+                if init_overrides:
+                    init_overrides.append(init_overrides[-1])
+            self.batch = len(contents)
         if mesh is not None and "jobs" in mesh.axis_names:
             n_jobs_axis = mesh.shape["jobs"]
             while len(contents) % n_jobs_axis != 0:
@@ -477,6 +490,7 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   canonicalize_contents: bool = False,
                   batch_policy: str = "auto",
                   max_batch: Optional[int] = None,
+                  pad_batches: bool = False,
                   stream_images: bool = True,
                   checkpoint_dir: Optional[str] = None,
                   checkpoint_every: Optional[int] = None,
@@ -531,6 +545,14 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     top-pyramid-level shape (lossless for the pipeline — resolution above
     the top level is never used). An arbitrary queue then compiles at most
     len(DEFAULT_ASPECT_BUCKETS) batch shapes.
+
+    pad_batches=True pads every vmapped group up to the next power of two
+    (capped by the group cap) by replicating jobs whose results are
+    dropped. XLA compiles one executable per batch SIZE; for online
+    serving, where the coalescing window can produce any size, padding
+    bounds the compile set to {1, 2, 4, ...} — warmable ahead of time —
+    at the cost of up to ~2x padded compute on odd-sized rounds. Offline
+    queues know their sizes upfront and default to exact batches.
     """
     if checkpoint_dir is not None and checkpoint_every is None:
         checkpoint_every = cfg.stream_every  # same default as the CLI path
@@ -571,11 +593,17 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                 os.makedirs(checkpoint_dir, exist_ok=True)
                 tag = hashlib.sha1(",".join(ids).encode()).hexdigest()[:16]
                 ckpt_path = os.path.join(checkpoint_dir, f"queue_{tag}.ckpt")
+            pad_to = None
+            if pad_batches and policy != "sequential":
+                pad_to = min(cap, 1 << (len(group) - 1).bit_length())
+                if pad_to <= len(group):
+                    pad_to = None
             try:
                 batch = BatchedTransferJob(
                     [j[1] for j in group], [j[2] for j in group], cfg,
                     params=params, mesh=group_mesh,
-                    shard_space=shard_space and group_mesh is not None)
+                    shard_space=shard_space and group_mesh is not None,
+                    pad_batch_to=pad_to)
                 imgs = None
                 for done, imgs, losses in batch.run(
                         yield_images=stream_images,

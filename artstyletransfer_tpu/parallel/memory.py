@@ -91,7 +91,8 @@ def aot_memory_stats(cfg: Config, content_hw: Tuple[int, int], mesh,
                      n_steps: int = 2) -> dict:
     """Compile the batched chunk for the mesh (AOT, nothing executed) and
     return XLA's PER-DEVICE memory analysis in bytes. Mirrors
-    BatchedTransferJob's constrained-graph gating (MIN_ROWS_PER_SHARD)."""
+    BatchedTransferJob's constrained-graph gating
+    (batch.MIN_LOWEST_LEVEL_PER_SHARD via constrained_space_ok)."""
     from .batch import constrained_space_ok
 
     shapes = [

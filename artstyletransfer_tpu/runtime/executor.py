@@ -24,6 +24,7 @@ and the batched TPU executor (parallel/batch.py) can reuse this scheduler.
 from __future__ import annotations
 
 import asyncio
+import sys
 import traceback
 from typing import Callable, Dict, Optional
 
@@ -37,6 +38,23 @@ _semaphore_loop: Optional[asyncio.AbstractEventLoop] = None
 # bot runs forever) must not grow Executor.failures without bound; the
 # oldest entries age out once frontends have had ample time to render them.
 MAX_RECORDED_FAILURES = 256
+
+
+def record_failure(failures: dict, task_id: str, error: BaseException,
+                   log_metric=None) -> None:
+    """Record a task failure under the shared retention cap (oldest entries
+    age out so a long-lived serving process cannot grow the table without
+    bound). Every failure write — Executor, the online batching executor,
+    and frontends marking load failures — goes through here so the cap is
+    enforced in one place."""
+    failures[task_id] = error
+    while len(failures) > MAX_RECORDED_FAILURES:
+        # dicts iterate in insertion order: drop the oldest
+        failures.pop(next(iter(failures)))
+    print(f"Task {task_id} FAILED: {type(error).__name__}: {error}",
+          file=sys.stderr)
+    if log_metric is not None:
+        log_metric("task_failed", task_id)
 
 
 def _get_semaphore() -> asyncio.Semaphore:
@@ -182,12 +200,8 @@ class Executor:
     async def __job_done(self, task_id, error=None):
         async with self.__tasks_lock:
             if error is not None:
-                self.failures[task_id] = error
-                while len(self.failures) > MAX_RECORDED_FAILURES:
-                    # dicts iterate in insertion order: drop the oldest
-                    self.failures.pop(next(iter(self.failures)))
-                print(f"Task {task_id} FAILED: {type(error).__name__}: {error}")
-                self._log_metric("task_failed", task_id)
+                record_failure(self.failures, task_id, error,
+                               self._log_metric)
             else:
                 if self.__verbose:
                     print(f"Task {task_id} done")

@@ -28,13 +28,13 @@ Scheduling semantics:
 from __future__ import annotations
 
 import asyncio
-import sys
+from concurrent.futures import TimeoutError as FuturesTimeout
 from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .executor import MAX_RECORDED_FAILURES
+from .executor import record_failure
 
 
 class OnlineBatchingExecutor:
@@ -48,6 +48,7 @@ class OnlineBatchingExecutor:
                  batch_window_s: float = 0.25,
                  canonicalize: bool = True,
                  batch_policy: str = "auto",
+                 pad_batches: bool = True,
                  queue_runner: Optional[Callable] = None):
         # `engine` is accepted for signature parity with Executor but the
         # unit of execution here is the batched queue; tests inject
@@ -63,6 +64,10 @@ class OnlineBatchingExecutor:
         self.batch_window_s = batch_window_s
         self.canonicalize = canonicalize
         self.batch_policy = batch_policy
+        # serving default ON: compile set bounded to power-of-two batch
+        # sizes so --warmup can cover every executable a coalescing window
+        # can produce (a novel size = a minutes-long cold compile mid-serve)
+        self.pad_batches = pad_batches
         self.queue_runner = queue_runner  # injectable (tests)
         self.__progress: Dict[str, tuple] = {}
         self.__progress_lock = asyncio.Lock()
@@ -108,8 +113,13 @@ class OnlineBatchingExecutor:
             from ..parallel.batch import (canonicalize_content,
                                           canonicalize_style)
 
-            content = canonicalize_content(content, self.__config)
-            style = canonicalize_style(style, self.__config)
+            # bicubic resize of multi-megapixel photos is CPU-bound; keep
+            # it off the event loop so polling/HTTP stay responsive while
+            # a user's upload is being canonicalized
+            loop = asyncio.get_running_loop()
+            content, style = await loop.run_in_executor(
+                None, lambda: (canonicalize_content(content, self.__config),
+                               canonicalize_style(style, self.__config)))
         await self.set_progress(task_id, (-1, None))
         if self.metrics is not None:
             self.metrics.log("task_added", task=task_id)
@@ -126,8 +136,13 @@ class OnlineBatchingExecutor:
         loop = asyncio.get_running_loop()
         if self.__dispatcher is None or self.__dispatcher.done() \
                 or getattr(self, "_loop", None) is not loop:
-            # (re)create per event loop, like Executor's semaphore re-bind
+            # (re)create per event loop, like Executor's semaphore re-bind.
+            # A round interrupted by the previous loop's teardown never ran
+            # its `finally` (the dispatcher task died with the loop), so
+            # clear the busy flag too — otherwise run(forever=False) on the
+            # new loop waits on it forever.
             self._loop = loop
+            self.__busy = False
             self.__wake = asyncio.Event()
             self.__dispatcher = loop.create_task(self._dispatch_loop())
 
@@ -163,15 +178,26 @@ class OnlineBatchingExecutor:
 
         def progress_cb(tid, pct, img, loss):
             # called from the worker thread: hop back into the loop
-            fut = asyncio.run_coroutine_threadsafe(
-                self._report(tid, pct, img, loss), loop)
-            fut.result()  # propagate errors, keep chunk pacing honest
+            try:
+                fut = asyncio.run_coroutine_threadsafe(
+                    self._report(tid, pct, img, loss), loop)
+                # the bounded wait covers the stopped-but-not-yet-closed
+                # teardown window, where the coroutine would never run and
+                # an unbounded result() would hang this worker thread
+                fut.result(timeout=60)
+            except (RuntimeError, FuturesTimeout):
+                # loop closed (or stopping): the server is shutting down
+                # mid-round. Drop the update instead of failing every
+                # in-flight job (same shutdown semantics as the lab's
+                # batched report callback).
+                return
 
         results, failures = await loop.run_in_executor(
             None, partial(
                 runner, jobs, self.__config, params=self.params,
                 mesh=self.mesh, progress=progress_cb,
                 batch_policy=self.batch_policy, max_batch=self.max_batch,
+                pad_batches=self.pad_batches,
                 # shapes were canonicalized at add_task; re-canonicalizing
                 # inside the queue would be a no-op either way
                 canonicalize_styles=False, canonicalize_contents=False))
@@ -191,13 +217,10 @@ class OnlineBatchingExecutor:
             await self.__report_progress(tid, (pct, img))
 
     def _record_failure(self, tid, exc):
-        self.failures[tid] = exc
-        while len(self.failures) > MAX_RECORDED_FAILURES:
-            self.failures.pop(next(iter(self.failures)))
-        print(f"Task {tid} FAILED: {type(exc).__name__}: {exc}",
-              file=sys.stderr)
-        if self.metrics is not None:
-            self.metrics.log("task_failed", task=tid)
+        record_failure(
+            self.failures, tid, exc,
+            (lambda event, task_id: self.metrics.log(event, task=task_id))
+            if self.metrics is not None else None)
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -2,7 +2,9 @@
 (CPU + 8 virtual devices, like tests/conftest.py). Per CLAUDE.md, only run
 this for intentional numerics changes and say so in the commit message.
 
-Usage: python scripts/gen_goldens.py [--only 1step|10step]
+Usage: python scripts/gen_goldens.py [--only SUBSTRING]
+  --only filters by spec-name substring, e.g. --only adam, --only lbfgs,
+  --only 1step. Exits with an error if nothing matches.
 """
 import os
 import sys
@@ -52,6 +54,7 @@ def main():
         ("transfer_2lvl_lbfgs_wrapped", 5,
          dict(optimizer="lbfgs", lbfgs_history=2)),
     )
+    wrote = 0
     for name, iters, overrides in specs:
         if only and only not in name:
             continue
@@ -72,6 +75,10 @@ def main():
         np.savez(path, content=content, style=style, image=img,
                  loss=np.float32(loss))
         print(f"wrote {path} (loss {loss:.6e})")
+        wrote += 1
+    if only and not wrote:
+        sys.exit(f"--only {only!r} matched no golden spec "
+                 f"(names: {', '.join(n for n, _i, _o in specs)})")
 
 
 if __name__ == "__main__":

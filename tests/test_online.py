@@ -29,9 +29,10 @@ class FakeQueueRunner:
         self.fail_ids = set(fail_ids)
 
     def __call__(self, jobs, cfg, params=None, mesh=None, progress=None,
-                 batch_policy="auto", max_batch=None,
+                 batch_policy="auto", max_batch=None, pad_batches=False,
                  canonicalize_styles=False, canonicalize_contents=False):
         self.calls.append([j[0] for j in jobs])
+        self.pad_batches = pad_batches
         if self.delay_s:
             time.sleep(self.delay_s)
         results, failures = {}, {}
@@ -63,6 +64,9 @@ def test_online_coalesces_concurrent_tasks_into_one_round():
     asyncio.run(go())
     assert runner.calls == [["t0", "t1", "t2", "t3"]]
     assert ex.dispatch_rounds == 1
+    # serving default: batch sizes pad to powers of two so the compile set
+    # is bounded (and warmable) regardless of what the window coalesces
+    assert runner.pad_batches is True
 
     async def check():
         for i in range(4):

@@ -332,6 +332,12 @@ def test_warmup_compiles_buckets(vgg_params):
                               verbose=False)
     assert n == 2
 
+    # online-serving warmup: the vmapped batched runners, one per
+    # (bucket, padded size) — what the online executor actually dispatches
+    n = warmup_aspect_buckets(cfg, params=vgg_params, aspects=(1.0,),
+                              verbose=False, batch_sizes=(1, 2))
+    assert n == 2
+
 
 def test_batch_policy_routing():
     """'auto' encodes the measured routing: full-Wolfe L-BFGS (the
@@ -508,3 +514,53 @@ def test_run_job_queue_checkpoint_resume(jobs_data, vgg_params, tmp_path):
     assert failures == {}
     for tid in ("a", "b"):
         np.testing.assert_array_equal(again[tid], straight[tid])
+
+
+def test_pad_batch_to_replicates_and_drops(jobs_data, vgg_params):
+    """Explicit size padding (serving compile-set bounding): 3 jobs padded
+    to 4 compile as a batch of 4 but yield exactly 3 results."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    b = BatchedTransferJob(contents[:3], styles[:3], cfg, params=vgg_params,
+                           pad_batch_to=4)
+    assert b.batch == 4 and b.real_batch == 3
+    _done, imgs, losses = list(b.run())[-1]
+    assert imgs.shape[0] == 3 and losses.shape == (3,)
+
+
+def test_run_job_queue_pad_batches_pow2(vgg_params, rng, monkeypatch):
+    """pad_batches=True pads odd-sized groups up to the next power of two
+    (3 -> 4) and leaves exact sizes alone (2 -> no pad); results come back
+    for the real ids only and match the unpadded run per job."""
+    from artstyletransfer_tpu.parallel import batch as batch_mod
+
+    pads = []
+    orig = batch_mod.BatchedTransferJob
+
+    class Recorder(orig):
+        def __init__(self, contents, styles, *a, pad_batch_to=None, **kw):
+            pads.append((len(contents), pad_batch_to))
+            super().__init__(contents, styles, *a,
+                             pad_batch_to=pad_batch_to, **kw)
+
+    monkeypatch.setattr(batch_mod, "BatchedTransferJob", Recorder)
+
+    content = rng.random((24, 24, 3)).astype(np.float32)
+    style = rng.random((16, 16, 3)).astype(np.float32)
+    jobs = [(f"t{i}", content.copy(), style.copy()) for i in range(3)]
+    cfg = Config(levels_num=1, iters_num=2, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+
+    res_pad, fail = batch_mod.run_job_queue(jobs, cfg, params=vgg_params,
+                                            pad_batches=True)
+    assert fail == {} and set(res_pad) == {"t0", "t1", "t2"}
+    assert pads == [(3, 4)]
+
+    pads.clear()
+    res_exact, fail = batch_mod.run_job_queue(jobs[:2], cfg,
+                                              params=vgg_params,
+                                              pad_batches=True)
+    assert fail == {} and pads == [(2, None)]
+    np.testing.assert_allclose(res_pad["t0"], res_exact["t0"],
+                               rtol=1e-3, atol=1e-3)
