@@ -136,12 +136,16 @@ class Config:
                                         # math (pinned by tests); level-0
                                         # grad 79.1 -> 61.3 ms/step at
                                         # 1024px bf16 on v5e.
-    nan_checks: bool = True             # raise on non-finite loss at chunk
-                                        # boundaries (TPU analogue of the
+    nan_checks: bool = True             # raise on non-finite loss at SYNCED
+                                        # chunk boundaries: every chunk when
+                                        # streaming images, only the final
+                                        # chunk in pipelined no-image mode
+                                        # (a per-chunk fetch would serialize
+                                        # the pipeline). TPU analogue of the
                                         # reference's unconditional
                                         # torch.autograd.set_detect_anomaly,
                                         # neural_style_transfer.py:150, at
-                                        # zero per-step cost)
+                                        # zero per-step cost.
     remat_levels: bool = False          # jax.checkpoint each pyramid level's
                                         # VGG pass (for 4-level / 2K outputs)
 
@@ -208,6 +212,30 @@ PRESETS = {
     "light_gauss": LIGHT_GAUSS_NOISE_CONFIG,
     "smoke": STARTING_CONFIG,
 }
+
+
+def reference_equivalent_steps(config: Config, reference_iters: int) -> int:
+    """Map the reference's iters_num onto this engine's optimizer steps.
+
+    The reference increments its iteration counter INSIDE the torch
+    closure (reference neural_style_transfer.py:198; `while step <
+    iters_num` at :205), so the unit is CLOSURE EVALUATIONS. One L-BFGS
+    optimizer step at the reference's settings (max_iter=1, accidental
+    max_ls=0: one entry eval + one trial eval) advances that counter by 2
+    — reference iters_num=500 performs 250 L-BFGS parameter updates. Adam
+    calls the closure once per step (1:1). This engine's iters_num counts
+    optimizer steps everywhere (the principled unit for a framework whose
+    step is one compiled graph); use this helper when reproducing a
+    reference run's exact amount of optimization.
+    """
+    if config.optimizer == "lbfgs":
+        if config.lbfgs_max_ls_steps == 0:
+            return max(1, reference_iters // 2)
+        raise ValueError(
+            "the reference's closure-count iteration unit has no fixed "
+            "optimizer-step equivalence under a real line search "
+            "(1 + n_evals closure calls per step, data-dependent)")
+    return reference_iters
 
 
 def production_config(base: Config | None = None) -> Config:

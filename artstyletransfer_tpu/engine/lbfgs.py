@@ -14,7 +14,11 @@ The line search follows torch's strong-Wolfe algorithm decision-for-decision
 the same insufficient-progress boundary nudging and lowest-f bracket
 bookkeeping in the zoom phase), so a step here tracks
 torch.optim.LBFGS(max_iter=1, strong_wolfe) through the full pyramid loss —
-see tests/test_trajectory_parity.py. One deliberate difference: torch
+see tests/test_trajectory_parity.py. That includes torch's pre-line-search
+break: a direction whose slope is not below -tolerance_change makes the
+step a no-op (and, since y=0 then skips the history update, freezes the
+trajectory — torch's exact near-converged behavior). One deliberate
+difference: torch
 re-invokes the closure at the top of every step() even though the line
 search already evaluated loss/grad at the accepted point; this
 implementation carries (f, g) in the state instead, saving one full
@@ -428,9 +432,14 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
 
     d = _two_loop_direction(g0, state, impl=direction_impl)
     dphi0 = jnp.dot(g0, d)
-    # fall back to steepest descent on a non-descent direction
-    bad = dphi0 >= 0.0
-    d = jnp.where(bad, -g0, d)
+    # torch parity: when the directional derivative is not meaningfully
+    # negative, torch breaks BEFORE the line search (lbfgs.py `if gtd >
+    # -tolerance_change: break`) and the whole step is a no-op — x, loss,
+    # grad, and history all stay put (y would be 0, so even the next
+    # step's history update self-skips; torch stays frozen from then on).
+    # Substituting a steepest-descent step here would diverge from the
+    # reference trajectory exactly in the near-converged regime.
+    skip = dphi0 > -_TOL_CHANGE
 
     # initial trial step: torch scales the very first step by min(1, 1/|g|_1)
     g_l1 = jnp.sum(jnp.abs(g0))
@@ -440,12 +449,18 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
 
     t, f_new, g_new, ls_evals = _strong_wolfe(
         loss_grad, x, d, f0, g0, t0, max_iter=max_ls_steps)
+    t = jnp.where(skip, jnp.zeros_like(t), t)
+    f_new = jnp.where(skip, f0, f_new)
+    g_new = jnp.where(skip, g0, g_new)
+    ls_evals = jnp.where(skip, jnp.zeros_like(ls_evals), ls_evals)
 
     x_new = x + t * d
     s = t * d
     y = g_new - g0
     ys = jnp.dot(y, s)
-    store = ys > 1e-10   # torch's curvature guard for the history update
+    # torch's curvature guard for the history update (skip makes ys=0,
+    # which the guard already rejects; & ~skip keeps the intent explicit)
+    store = (ys > 1e-10) & ~skip
 
     idx = jnp.mod(state.count, m)
     s_hist = jnp.where(store, state.s_hist.at[idx].set(s), state.s_hist)

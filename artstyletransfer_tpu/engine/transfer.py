@@ -37,7 +37,8 @@ import optax
 from jax import lax
 
 from ..config import Config
-from ..models.vgg19 import CONTENT_INDEX, STYLE_INDICES, extract_features
+from ..models.vgg19 import (CONTENT_INDEX, STYLE_INDICES, _PRECISIONS,
+                            extract_features)
 from ..models.weights import load_vgg19_params
 from ..ops.gram import gram_matrix
 from ..ops.losses import level_loss
@@ -101,6 +102,12 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
         return jax.lax.with_sharding_constraint(
             t, NamedSharding(space_mesh, P(None, "space", None, None)))
 
+    # one Precision for every MXU contraction in the graph (convs, Grams,
+    # style backward, pyramid resizes): at 'highest' a user gets true f32
+    # everywhere, not just in the convs (the MXU truncates f32 operands to
+    # bf16 passes at DEFAULT — the CLAUDE.md r3 GEMV lesson generalized)
+    mxu_precision = _PRECISIONS[cfg.conv_precision]
+
     def loss_fn(params, targets, x_flat):
         img = constrain(x_flat.reshape(top_shape))
         total = jnp.float32(0.0)
@@ -108,7 +115,7 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
         cur = img
         for lvl in range(len(level_shapes)):
             if lvl > 0:
-                cur = constrain(downscale2x(cur))
+                cur = constrain(downscale2x(cur, precision=mxu_precision))
 
             def level_pass(params, cur, lvl=lvl):
                 feats = extract_features(params, cur, cfg.compute_dtype,
@@ -121,7 +128,8 @@ def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
                     cfg.content_weight, cfg.style_weight, cfg.tv_weight,
                     CONTENT_INDEX, STYLE_INDICES,
                     use_pallas=cfg.use_pallas and _on_tpu(),
-                    fused_style_bwd=cfg.fused_style_bwd)
+                    fused_style_bwd=cfg.fused_style_bwd,
+                    precision=mxu_precision)
 
             if cfg.remat_levels:
                 level_pass = jax.checkpoint(level_pass)
@@ -151,7 +159,10 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
                                    pool_impl=cfg.pool_impl)
         # targets are computed once and kept f32 regardless of compute dtype
         t_content = c_feats[CONTENT_INDEX].astype(jnp.float32)
-        t_grams = tuple(gram_matrix(s_feats[i]) for i in STYLE_INDICES)
+        t_grams = tuple(
+            gram_matrix(s_feats[i],
+                        precision=_PRECISIONS[cfg.conv_precision])
+            for i in STYLE_INDICES)
         targets.append((t_content, t_grams))
     return tuple(targets)
 
@@ -376,6 +387,13 @@ class TransferJob:
             ) -> Iterator[Tuple[int, np.ndarray, float]]:
         """Run the optimization; yields (steps_done, image_hwc_rgb, loss).
 
+        iters_num counts OPTIMIZER STEPS (one compiled graph execution per
+        step). The reference counts closure evaluations instead (reference
+        neural_style_transfer.py:198,205) — identical for Adam, but its
+        L-BFGS settings consume 2 evaluations per step, so a reference
+        iters_num=500 L-BFGS run equals 250 steps here; use
+        config.reference_equivalent_steps to reproduce a reference budget.
+
         The image is un-preprocessed ([0,1]-domain, unclipped) like the
         reference's unprepare_img (reference neural_style_transfer.py:386-393).
 
@@ -409,11 +427,17 @@ class TransferJob:
         # fresh copy: the chunk runner donates its image buffer, and _x0
         # must survive so the job can be re-run
         x = jnp.array(self._x0, copy=True)
-        opt_state = self._init_fn(self.params, self.targets, x)
+        opt_state = None
         done = 0
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            # abstract template: eval_shape gives the same pytree (shapes +
+            # dtypes) with ZERO device work — running _init_fn here would
+            # burn a full loss+gradient evaluation whose result is wholly
+            # replaced by the checkpoint leaves
+            template = jax.eval_shape(self._init_fn, self.params,
+                                      self.targets, x)
             x_np, opt_state, done = load_checkpoint(checkpoint_path,
-                                                    opt_state,
+                                                    template,
                                                     fingerprint=fp)
             x = jnp.asarray(x_np)
             if done >= iters:
@@ -428,6 +452,8 @@ class TransferJob:
                         tuple(float(v) for v in lvl) for lvl in per_level]
                 yield done, img, float(total)
                 return
+        if opt_state is None:
+            opt_state = self._init_fn(self.params, self.targets, x)
         last_saved = done
         while done < iters:
             k = min(chunk, iters - done)
@@ -439,7 +465,11 @@ class TransferJob:
             if sync:
                 # the float() conversion is the device sync point; in
                 # no-image mode intermediate chunks stay fully pipelined
-                # (the loss is yielded as a lazy device scalar)
+                # (the loss is yielded as a lazy device scalar), so the
+                # nan guard below fires opportunistically: every chunk
+                # when streaming, only the final chunk when pipelined —
+                # forcing a per-chunk fetch would serialize the chunk
+                # pipeline the no-image mode exists to provide
                 f = float(f)
                 if cfg.nan_checks and not np.isfinite(f):
                     raise FloatingPointError(

@@ -147,7 +147,16 @@ def load_vgg19_params(path: Optional[str] = None, seed: int = 0,
 
     for cand in candidates:
         if not os.path.exists(cand):
-            raise FileNotFoundError(f"VGG19 weights not found: {cand}")
+            if path and cand == path:
+                # an explicitly passed path must fail loudly
+                raise FileNotFoundError(f"VGG19 weights not found: {cand}")
+            # a stale env var / cache entry falls through the documented
+            # resolution order instead of aborting it
+            import sys
+
+            print(f"warning: VGG19 weights candidate {cand} does not "
+                  "exist; trying the next source", file=sys.stderr)
+            continue
         if cand.endswith(".npz"):
             params = _validate(_load_npz(cand))
         elif cand.endswith((".pth", ".pt")):

@@ -58,7 +58,8 @@ def _chunk_plan(n: int) -> tuple[int, int]:
     return k, n_pad
 
 
-def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
+def gram_matrix(x: jax.Array, should_normalize: bool = True,
+                precision=None) -> jax.Array:
     """Batched Gram matrix of an NHWC feature map -> (b, c, c) float32.
 
     bfloat16 inputs below ~2^21 contraction elements take a direct 4-D
@@ -66,12 +67,18 @@ def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
     trip XLA's large-contraction loop-ification at these sizes, and
     skipping the reshape saves a layout round trip next to the conv
     fusions (measured -4 ms/step at 1024 px vs the chunked lowering).
+
+    precision: lax.Precision for the contraction. Must be HIGHEST when the
+    caller wants true f32 Grams from f32 taps — at DEFAULT the TPU MXU
+    truncates f32 operands to bf16 passes (same failure class CLAUDE.md
+    records for L-BFGS GEMVs). The engine threads cfg.conv_precision here.
     """
     b, h, w, c = x.shape
     n = h * w
     if x.dtype == jnp.bfloat16 and n < (1 << 21):
         gram = jnp.einsum("bhwc,bhwd->bcd", x, x,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         if should_normalize:
             gram = gram / jnp.asarray(c * h * w, dtype=gram.dtype)
         return gram
@@ -82,12 +89,14 @@ def gram_matrix(x: jax.Array, should_normalize: bool = True) -> jax.Array:
             feats = jnp.pad(feats, ((0, 0), (0, n_pad - n), (0, 0)))
         feats = feats.reshape(b, k, n_pad // k, c)
         gram = jnp.einsum("bknc,bknd->bkcd", feats, feats,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         gram = jnp.sum(gram, axis=1)
     else:
         feats = x.reshape(b, n, c)
         gram = jnp.einsum("bnc,bnd->bcd", feats, feats,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
     if should_normalize:
         gram = gram / jnp.asarray(c * h * w, dtype=gram.dtype)
     return gram

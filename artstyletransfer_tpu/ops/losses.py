@@ -10,6 +10,7 @@ Reference parity (reference neural_style_transfer.py:84-112):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax
@@ -75,23 +76,27 @@ def style_loss(target_grams: Sequence[jax.Array],
 # --------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def _style_layer_mse_convbwd(f: jax.Array, gt: jax.Array) -> jax.Array:
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _style_layer_mse_convbwd(f: jax.Array, gt: jax.Array,
+                             precision=None) -> jax.Array:
     """MSE between gram(f)[0] and the (c, c) target gram gt.
 
     Requires batch size 1 (the engine's invariant; the reference reads
     batch element [0] only — reference neural_style_transfer.py:100-104).
+    precision applies to both the forward Gram contraction and the 1x1
+    backward conv (the engine threads cfg.conv_precision — at DEFAULT the
+    TPU MXU runs f32 operands as bf16 passes).
     """
-    g = gram_matrix(f)[0]
+    g = gram_matrix(f, precision=precision)[0]
     return jnp.mean(jnp.square(g - gt))
 
 
-def _style_layer_fwd(f, gt):
-    g = gram_matrix(f)[0]
+def _style_layer_fwd(f, gt, precision):
+    g = gram_matrix(f, precision=precision)[0]
     return jnp.mean(jnp.square(g - gt)), (f, g, gt)
 
 
-def _style_layer_bwd(res, s):
+def _style_layer_bwd(precision, res, s):
     f, g, gt = res
     _, h, w, c = f.shape
     # general form: d = (G - Gt) + (G - Gt)^T (real target grams are
@@ -101,7 +106,8 @@ def _style_layer_bwd(res, s):
     ker = ((d + d.T) * (scale * s)).astype(f.dtype)[None, None]  # (1,1,c,c)
     df = lax.conv_general_dilated(
         f, ker, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision)
     return df, None
 
 
@@ -114,7 +120,8 @@ def level_loss(feats, target_content: jax.Array,
                content_index: int = 4,
                style_indices: Sequence[int] = (0, 1, 2, 3, 5),
                use_pallas: bool = False,
-               fused_style_bwd: bool = True) -> LevelLoss:
+               fused_style_bwd: bool = True,
+               precision=None) -> LevelLoss:
     """Weighted loss of one pyramid level given current feature taps.
 
     use_pallas routes Gram/TV through the fused Pallas TPU kernels
@@ -133,14 +140,14 @@ def level_loss(feats, target_content: jax.Array,
         def gram_fn(x):
             if pk.gram_supported(x.shape):
                 return pk.gram_pallas(x, True, False)
-            return gram_matrix(x)
+            return gram_matrix(x, precision=precision)
 
         def tv_fn(y):
             if pk.tv_supported(y.shape):
                 return pk.tv_pallas(y)
             return total_variation(y)
     else:
-        gram_fn = gram_matrix
+        gram_fn = partial(gram_matrix, precision=precision)
         tv_fn = total_variation
 
     c = content_loss(target_content, feats[content_index])
@@ -148,7 +155,7 @@ def level_loss(feats, target_content: jax.Array,
             feats[i].shape[0] == 1 for i in style_indices):
         acc = jnp.float32(0.0)
         for gt, i in zip(target_grams, style_indices):
-            acc = acc + _style_layer_mse_convbwd(feats[i], gt[0])
+            acc = acc + _style_layer_mse_convbwd(feats[i], gt[0], precision)
         # normalize like style_loss (len(target_grams)) so the fused and
         # autodiff paths stay interchangeable even if the sequences differ
         s = acc / len(target_grams)

@@ -190,8 +190,8 @@ def tv_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
     return _tv_impl(y, interpret)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _tv_impl(y, interpret):
+def _tv_means(y, interpret):
+    """The two TV mean-abs-difference terms via the fused kernel."""
     b, h, w, c = y.shape
     sx, sy = pl.pallas_call(
         partial(_tv_kernel, c=c),
@@ -202,17 +202,20 @@ def _tv_impl(y, interpret):
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         interpret=interpret,
     )(y.reshape(h, w * c))
-    mean_x = sx[0, 0] / (h * (w - 1) * c)
-    mean_y = sy[0, 0] / ((h - 1) * w * c)
+    return sx[0, 0] / (h * (w - 1) * c), sy[0, 0] / ((h - 1) * w * c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tv_impl(y, interpret):
+    mean_x, mean_y = _tv_means(y, interpret)
     return mean_x * mean_x + mean_y * mean_y
 
 
 def _tv_vjp_fwd(y, interpret):
-    b, h, w, c = y.shape
-    dx = y[:, :, :-1, :] - y[:, :, 1:, :]
-    dy = y[:, :-1, :, :] - y[:, 1:, :, :]
-    mean_x = jnp.mean(jnp.abs(dx))
-    mean_y = jnp.mean(jnp.abs(dy))
+    # the fwd rule must dispatch the fused kernel too: the optimization
+    # step always runs under jax.grad, so an unfused fwd here would mean
+    # the kernel never executes in the only path that matters
+    mean_x, mean_y = _tv_means(y, interpret)
     return mean_x * mean_x + mean_y * mean_y, (y, mean_x, mean_y)
 
 

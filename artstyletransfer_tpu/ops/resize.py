@@ -58,11 +58,15 @@ def resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return _resize_matrix_cached(int(n_in), int(n_out))
 
 
-def bicubic_resize(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def bicubic_resize(img: jax.Array, out_h: int, out_w: int,
+                   precision=None) -> jax.Array:
     """Bicubic-resize an NHWC (or HWC) image to (out_h, out_w).
 
     Matches cv2.resize(..., INTER_CUBIC) / torch bicubic semantics
     (a=-0.75, half-pixel centers, replicate border, no antialiasing).
+    precision: lax.Precision for the separable contractions — HIGHEST for
+    true-f32 resizes on TPU (at DEFAULT the MXU runs f32 operands as bf16
+    passes); the engine threads cfg.conv_precision.
     """
     squeeze = img.ndim == 3
     if squeeze:
@@ -74,17 +78,19 @@ def bicubic_resize(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     r_w = jnp.asarray(resize_matrix(w, out_w))
     # out[b, i, j, c] = sum_{y,x} R_h[i,y] img[b,y,x,c] R_w[j,x]
     out = jnp.einsum("iy,byxc->bixc", r_h, img,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     out = jnp.einsum("jx,bixc->bijc", r_w, out,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     return out[0] if squeeze else out
 
 
-def downscale2x(img: jax.Array) -> jax.Array:
+def downscale2x(img: jax.Array, precision=None) -> jax.Array:
     """Halve an NHWC image (floor division of dims), reference pyramid step
     semantics (reference neural_style_transfer.py:173-176)."""
     _, h, w, _ = img.shape
-    return bicubic_resize(img, h // 2, w // 2)
+    return bicubic_resize(img, h // 2, w // 2, precision=precision)
 
 
 def bicubic_resize_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

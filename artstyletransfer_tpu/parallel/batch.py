@@ -288,12 +288,15 @@ class BatchedTransferJob:
         # fresh copy: the chunk runner donates its image buffer, and _x0
         # must survive so the batch can be re-run
         x = jnp.array(self._x0, copy=True)
-        opt_state = self._init_fn(self.params, self.targets, x)
+        opt_state = None
         done = 0
         top = self.level_shapes[0]  # (1, H, W, 3) per job
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            # abstract template (zero device work) — see TransferJob.run
+            template = jax.eval_shape(self._init_fn, self.params,
+                                      self.targets, x)
             x_np, opt_state, done = load_checkpoint(checkpoint_path,
-                                                    opt_state,
+                                                    template,
                                                     fingerprint=fp)
             x = jnp.asarray(x_np)
             if done >= iters:
@@ -305,6 +308,8 @@ class BatchedTransferJob:
                 losses = self._metrics_fn(self.params, self.targets, x)
                 yield done, imgs, np.asarray(losses)[:self.real_batch]
                 return
+        if opt_state is None:
+            opt_state = self._init_fn(self.params, self.targets, x)
         last_saved = done
         while done < iters:
             k = min(chunk, iters - done)

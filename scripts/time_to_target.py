@@ -36,7 +36,9 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from artstyletransfer_tpu.config import Config, production_config  # noqa: E402
+from artstyletransfer_tpu.config import (Config,  # noqa: E402
+                                          production_config,
+                                          reference_equivalent_steps)
 from artstyletransfer_tpu.engine.transfer import TransferJob  # noqa: E402
 from artstyletransfer_tpu.models.weights import load_vgg19_params  # noqa: E402
 from artstyletransfer_tpu.utils.image import load_image  # noqa: E402
@@ -102,13 +104,20 @@ def main():
     params = load_vgg19_params(seed=0)
     cfg = base_config(args.size)
 
-    # ---- the quality target: exact reference semantics, 500 steps -------
+    # ---- the quality target: exact reference semantics. The reference's
+    # iters_num counts CLOSURE EVALUATIONS (2 per L-BFGS step at its
+    # max_ls=0 settings — config.reference_equivalent_steps), so its
+    # iters_num=500 run performs 250 optimizer steps; the target loss must
+    # be measured at that point, not at 500 steps (twice the reference's
+    # optimization), or every candidate would chase a stricter quality bar
+    # than the reference ever reaches.
     name0, ref_cfg = candidates(cfg)[0]
-    print(f"[target] running {name0} for {cfg.iters_num} steps ...",
-          file=sys.stderr)
+    ref_steps = reference_equivalent_steps(ref_cfg, cfg.iters_num)
+    print(f"[target] running {name0} for {ref_steps} steps "
+          f"(= reference iters_num={cfg.iters_num}) ...", file=sys.stderr)
     ref_job = TransferJob(content, style, ref_cfg, params=params)
     t0 = time.perf_counter()
-    steps0, wall0, target = run_to_target(ref_job, -np.inf, cfg.iters_num,
+    steps0, wall0, target = run_to_target(ref_job, -np.inf, ref_steps,
                                           args.chunk)
     print(f"[target] loss {target:.6e} after {steps0} steps "
           f"({wall0:.1f}s)", file=sys.stderr)

@@ -311,3 +311,43 @@ def test_lbfgs_direction_matrix_matches_loop_vmapped():
             d_loop = out
     np.testing.assert_allclose(d_mat, d_loop, rtol=2e-4,
                                atol=2e-4 * np.abs(d_loop).max())
+
+
+def test_lbfgs_freezes_on_non_descent_direction():
+    """torch parity (torch lbfgs.py `if gtd > -tolerance_change: break`):
+    a direction whose slope is not meaningfully negative makes the step a
+    complete no-op — x, loss, grad, and history all unchanged (r4 fix; the
+    old behavior substituted a steepest-descent step and diverged from the
+    reference trajectory in the near-converged regime)."""
+    def loss_grad(x):
+        return 0.5 * jnp.sum(x * x), x
+
+    x = jnp.zeros(8, jnp.float32)  # exact minimum: g = 0 -> dphi0 = 0
+    state = lbfgs_mod.init_state(loss_grad, x, history=4)
+    x2, s2 = lbfgs_mod.lbfgs_step(loss_grad, x, state, jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+    assert int(s2.count) == int(state.count)
+    np.testing.assert_array_equal(np.asarray(s2.g), np.asarray(state.g))
+    assert float(s2.f) == float(state.f)
+    # a genuinely descending start still moves (the guard is not a brake)
+    x3 = jnp.full((8,), 3.0, jnp.float32)
+    st3 = lbfgs_mod.init_state(loss_grad, x3, history=4)
+    x4, _s4 = lbfgs_mod.lbfgs_step(loss_grad, x3, st3, jnp.float32(1.0))
+    assert float(jnp.max(jnp.abs(x4 - x3))) > 0.0
+
+
+def test_reference_equivalent_steps():
+    """The reference counts closure evaluations (2 per ref-semantics L-BFGS
+    step), ours counts optimizer steps (PARITY optimizer notes r4)."""
+    import dataclasses
+
+    from artstyletransfer_tpu.config import reference_equivalent_steps
+
+    adam = Config(optimizer="adam")
+    assert reference_equivalent_steps(adam, 500) == 500
+    ref = dataclasses.replace(adam, optimizer="lbfgs", lbfgs_max_ls_steps=0)
+    assert reference_equivalent_steps(ref, 500) == 250
+    assert reference_equivalent_steps(ref, 1) == 1  # floor of 1
+    fw = dataclasses.replace(adam, optimizer="lbfgs")
+    with pytest.raises(ValueError):
+        reference_equivalent_steps(fw, 500)
