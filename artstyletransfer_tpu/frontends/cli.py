@@ -105,11 +105,16 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                         "(default on); --no-lr-decay-per-eval decays once "
                         "per step")
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--demo-normal-noise", action="store_true",
+    # default=None (not store_true's False) so an unpassed flag is
+    # recognized as "not explicit" and cannot clobber a preset's ablation
+    # setting (the config_from_args `val is not None` convention)
+    p.add_argument("--demo-normal-noise", action="store_true", default=None,
                    help="ablation: normal noise instead of style-pixel noise")
     p.add_argument("--demo-no-gaussian-mask", action="store_true",
+                   default=None,
                    help="ablation: skip the Gaussian noise envelopes")
     p.add_argument("--demo-ignore-gradient-map", action="store_true",
+                   default=None,
                    help="ablation: constant noise weight (no Sobel map)")
     p.add_argument("--dump-masks", default=None, metavar="DIR",
                    help="dump noise/gradient mask JPEGs for inspection")
@@ -249,7 +254,9 @@ async def run_job(args: argparse.Namespace, cfg: Config) -> np.ndarray:
     from ..engine.transfer import neural_style_transfer
     from ..utils.metrics import MetricsLogger
 
-    engine = partial(neural_style_transfer, params=params, config=cfg)
+    # config is forwarded by Executor's Task itself; only params needs
+    # binding here
+    engine = partial(neural_style_transfer, params=params)
     with MetricsLogger(args.metrics) as metrics:
         executor = Executor(cfg, report_progress=report, engine=engine,
                             verbose=not args.quiet,

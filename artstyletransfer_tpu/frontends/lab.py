@@ -163,15 +163,22 @@ def create_app(config=None, data_dir: str = None, pairs=None,
             await executor.set_progress(tid, (-1, None))
 
         def report(tid, pct, img, loss):
+            from concurrent.futures import TimeoutError as FuturesTimeout
+
             try:
-                asyncio.run_coroutine_threadsafe(
-                    executor.set_progress(tid, (pct, img)), loop).result()
-            except RuntimeError:
-                # server shutting down (loop closed) mid-batch: drop the
-                # progress update instead of failing the whole bucket —
-                # SIGTERM during a drive must not record spurious job
-                # failures (observed: "Event loop is closed" marked every
-                # in-flight job failed on a clean Ctrl-C)
+                fut = asyncio.run_coroutine_threadsafe(
+                    executor.set_progress(tid, (pct, img)), loop)
+                # bounded: a loop that is STOPPED but not yet closed
+                # (SIGTERM teardown window) never runs the coroutine, and
+                # an unbounded result() would hang the worker thread at
+                # interpreter exit
+                fut.result(timeout=60)
+            except (RuntimeError, FuturesTimeout):
+                # server shutting down mid-batch: drop the progress update
+                # instead of failing the whole bucket — SIGTERM during a
+                # drive must not record spurious job failures (observed:
+                # "Event loop is closed" marked every in-flight job failed
+                # on a clean Ctrl-C)
                 return
             if metrics is not None:
                 # the batched queue bypasses Executor.__report, so emit the

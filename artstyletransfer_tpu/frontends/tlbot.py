@@ -144,10 +144,12 @@ class StyleTransferBot:
             self.canonicalize = False
             self.executor = OnlineBatchingExecutor(
                 self.config, report_progress=self.task_progress_callback,
+                report_failure=self.task_failed_callback,
                 verbose=False, metrics=metrics)
         else:
             self.executor = Executor(
                 self.config, report_progress=self.task_progress_callback,
+                report_failure=self.task_failed_callback,
                 engine=engine, verbose=False, metrics=metrics)
         self._pending_albums: Dict[str, List[dict]] = {}
         self._album_timers: Dict[str, asyncio.TimerHandle] = {}
@@ -166,9 +168,23 @@ class StyleTransferBot:
             if percent - old_percent >= 20 or percent >= 100:
                 caption = ("Done!" if percent >= 100
                            else f"Progress: {percent:.1f}%")
-                await self.client.send_photo(
-                    chat_id, encode_jpeg(img),
-                    caption, filename=f"image_{percent:.1f}.jpg")
+                try:
+                    await self.client.send_photo(
+                        chat_id, encode_jpeg(img),
+                        caption, filename=f"image_{percent:.1f}.jpg")
+                except Exception:  # noqa: BLE001 — transport error
+                    # one failed send (network blip, user blocked the bot)
+                    # must not kill the optimization job — and under
+                    # online batching it would fail the WHOLE coalesced
+                    # round. Skip the update; progress stays at
+                    # old_percent so the next chunk retries the send. A
+                    # failed TERMINAL send still releases the table entry
+                    # (the job is over; nothing will retry it).
+                    traceback.print_exc()
+                    if percent >= 100:
+                        async with self.table_lock:
+                            self.tasks_table.pop(task_id, None)
+                    return
                 async with self.table_lock:
                     if task_id in self.tasks_table:
                         self.tasks_table[task_id].progress = percent
@@ -179,6 +195,23 @@ class StyleTransferBot:
         except Exception:
             traceback.print_exc()
             raise
+
+    async def task_failed_callback(self, task_id: str, error: BaseException):
+        """Tell the chat its job died and release the table entry — the
+        reference leaves the user waiting forever (its failed task stays in
+        tasks_table with no message, reference tlbot.py:83-85 only covers
+        handler-level errors)."""
+        async with self.table_lock:
+            cp = self.tasks_table.pop(task_id, None)
+        if cp is None:
+            return
+        try:
+            await self.client.send_message(
+                cp.chat_id,
+                "Sorry, something went wrong while processing your images. "
+                "Please try again.")
+        except Exception:  # noqa: BLE001 — best-effort apology
+            traceback.print_exc()
 
     # -- message handlers ----------------------------------------------------
 
@@ -342,11 +375,12 @@ def main(argv=None) -> int:
 
             # online serving ALWAYS dispatches through BatchedTransferJob
             # (a separate executable from the single-job graph, even at
-            # batch 1): warm the power-of-two sizes the pad policy can
-            # produce when rounds route batched, or just batch 1 for a
+            # batch 1): warm EVERY padded size the pad policy can produce
+            # — {1,2,4,8}, the full ladder under the online executor's
+            # max_batch=8 default — or just batch 1 for a
             # sequential-routed config (full-Wolfe L-BFGS runs jobs one
             # at a time by measured policy)
-            sizes = ((1, 2, 4)
+            sizes = ((1, 2, 4, 8)
                      if resolve_batch_policy(cfg, "auto") == "batched"
                      else (1,))
         warmup_aspect_buckets(cfg, batch_sizes=sizes)

@@ -38,9 +38,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
-        if lib.astt_native_abi_version() != 1:
+            # AttributeError covers a stale .so predating the ABI export:
+            # the native path is a pure acceleration, so ANY load problem
+            # must fall back to numpy, never crash available()
+            if lib.astt_native_abi_version() != 1:
+                return None
+        except (OSError, AttributeError):
             return None
         lib.astt_bicubic_resize.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,

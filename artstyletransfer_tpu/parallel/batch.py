@@ -328,6 +328,16 @@ class BatchedTransferJob:
                 imgs = np.stack([unprepare_img(im)
                                  for im in imgs[:self.real_batch]])
                 losses = np.asarray(f)[:self.real_batch]
+                # same opportunistic guard as TransferJob.run: the losses
+                # are already fetched here, so the check is free; it names
+                # the offending jobs so a poisoned batch is diagnosable
+                if cfg.nan_checks and not np.isfinite(losses).all():
+                    bad = np.flatnonzero(~np.isfinite(losses)).tolist()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {done} for batch "
+                        f"element(s) {bad} of {self.real_batch} "
+                        f"(optimizer={cfg.optimizer}, "
+                        f"lr_start={cfg.lr_start})")
             else:
                 imgs, losses = None, f
             yield done, imgs, losses

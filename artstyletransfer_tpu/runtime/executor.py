@@ -57,6 +57,25 @@ def record_failure(failures: dict, task_id: str, error: BaseException,
         log_metric("task_failed", task_id)
 
 
+# Progress-table retention cap: like the failure table, a forever-serving
+# process (the Telegram bot) must not accumulate one full-resolution final
+# image per completed task. Only TERMINAL entries (done or failed) are
+# evicted; a running task's progress is never dropped.
+MAX_PROGRESS_ENTRIES = 1024
+
+
+def prune_progress(progress: dict, failures: dict) -> None:
+    """Evict the oldest terminal progress entries once over the cap (dicts
+    iterate in insertion order). Caller must hold the progress lock."""
+    if len(progress) <= MAX_PROGRESS_ENTRIES:
+        return
+    for key in list(progress):
+        if len(progress) <= MAX_PROGRESS_ENTRIES:
+            break
+        if progress[key][0] >= 100 or key in failures:
+            progress.pop(key)
+
+
 def _get_semaphore() -> asyncio.Semaphore:
     """Global concurrency cap (reference task_executor.py:9), created lazily
     and re-bound whenever the running event loop changes: a semaphore created
@@ -99,6 +118,13 @@ class Task:
         error = None
         try:
             async with _get_semaphore():
+                # the 14 positional fields are the reference engine API
+                # (reference task_executor.py:30-33); config carries the
+                # FULL executor config through — without it the engine
+                # rebuilds Config() from the positionals alone and every
+                # TPU-native knob (compute_dtype/production precision,
+                # conv_precision, use_relu, lbfgs_*, pool_impl, seed, ...)
+                # silently resets to defaults on the live serving path
                 async for result in self.__engine(
                         self.__content_n_style,
                         cfg.content_weight, cfg.style_weight, cfg.tv_weight,
@@ -106,7 +132,8 @@ class Task:
                         cfg.iters_num, cfg.levels_num, cfg.noise_factor,
                         cfg.noise_levels, cfg.noise_levels_central_amplitude,
                         cfg.noise_levels_peripheral_amplitude,
-                        cfg.noise_levels_dispersion):
+                        cfg.noise_levels_dispersion,
+                        config=cfg):
                     result_copy = (result[0],
                                    result[1].copy() if result[1] is not None
                                    else None)
@@ -128,13 +155,17 @@ class Executor:
     (reference task_executor.py:45-129)."""
 
     def __init__(self, config, report_progress=None, engine=None,
-                 verbose: bool = True, metrics=None):
+                 verbose: bool = True, metrics=None, report_failure=None):
         self.__tasks: Dict[str, Task] = {}
         self.__progress: Dict[str, tuple] = {}
         self.__config = config
         self.__progress_lock = asyncio.Lock()
         self.__tasks_lock = asyncio.Lock()
         self.__report_progress = report_progress
+        # optional async (task_id, exception) hook: a serving frontend can
+        # tell the user their job died (the reference leaves the chat
+        # waiting forever — SURVEY §5 failure handling)
+        self.__report_failure = report_failure
         self.__engine = engine
         self.__verbose = verbose
         self.failures: Dict[str, BaseException] = {}
@@ -162,6 +193,7 @@ class Executor:
         async with self.__progress_lock:
             self.__progress[key] = (
                 value[0], value[1].copy() if value[1] is not None else None)
+            prune_progress(self.__progress, self.failures)
 
     async def __print_progress(self):
         if not self.__verbose:
@@ -208,6 +240,12 @@ class Executor:
                 self._log_metric("task_done", task_id)
             self.__throughput.pop(task_id, None)
             self.__tasks.pop(task_id)
+        if error is not None and self.__report_failure is not None:
+            # outside the lock: the hook may take the frontend's own locks
+            try:
+                await self.__report_failure(task_id, error)
+            except Exception:  # noqa: BLE001 — best-effort notification
+                traceback.print_exc()
 
     async def add_task(self, task_id: str, content_n_style: ContentStylePair):
         await self.set_progress(task_id, (-1, None))

@@ -34,7 +34,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .executor import record_failure
+from .executor import prune_progress, record_failure
 
 
 class OnlineBatchingExecutor:
@@ -44,7 +44,8 @@ class OnlineBatchingExecutor:
 
     def __init__(self, config, report_progress=None, engine=None,
                  verbose: bool = True, metrics=None, params=None,
-                 mesh=None, max_batch: Optional[int] = None,
+                 mesh=None, max_batch: Optional[int] = 8,
+                 report_failure=None,
                  batch_window_s: float = 0.25,
                  canonicalize: bool = True,
                  batch_policy: str = "auto",
@@ -56,10 +57,16 @@ class OnlineBatchingExecutor:
         del engine
         self.__config = config
         self.__report_progress = report_progress
+        self.__report_failure = report_failure
         self.__verbose = verbose
         self.metrics = metrics
         self.params = params
         self.mesh = mesh
+        # default 8: bounds BOTH the padded-size ladder {1,2,4,8} (one
+        # compiled executable each — what --warmup precompiles) and the
+        # worst-case warmup time; bursts beyond 8 split into size-8 rounds.
+        # None = the HBM/saturation cap (up to 32), at the cost of cold
+        # compiles at sizes warmup never saw.
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self.canonicalize = canonicalize
@@ -100,6 +107,7 @@ class OnlineBatchingExecutor:
         async with self.__progress_lock:
             self.__progress[key] = (
                 value[0], value[1].copy() if value[1] is not None else None)
+            prune_progress(self.__progress, self.failures)
 
     # -- task intake -------------------------------------------------------
 
@@ -145,6 +153,11 @@ class OnlineBatchingExecutor:
             self.__busy = False
             self.__wake = asyncio.Event()
             self.__dispatcher = loop.create_task(self._dispatch_loop())
+            if self.__pending:
+                # jobs queued under the previous loop would otherwise wait
+                # on a fresh never-set event forever (benign unlocked read:
+                # a concurrent add_task sets the event itself)
+                self.__wake.set()
 
     async def _dispatch_loop(self):
         while True:
@@ -163,7 +176,7 @@ class OnlineBatchingExecutor:
                 await self._run_round(jobs)
             except Exception as e:  # noqa: BLE001 — keep serving
                 for tid, _c, _s in jobs:
-                    self._record_failure(tid, e)
+                    await self._record_failure(tid, e)
             finally:
                 self.__busy = False
 
@@ -191,6 +204,14 @@ class OnlineBatchingExecutor:
                 # in-flight job (same shutdown semantics as the lab's
                 # batched report callback).
                 return
+            except Exception:  # noqa: BLE001
+                # a frontend's report hook failing (e.g. one user's
+                # Telegram send hitting a network blip) must not fail the
+                # whole coalesced batch — log and keep optimizing
+                import traceback
+
+                traceback.print_exc()
+                return
 
         results, failures = await loop.run_in_executor(
             None, partial(
@@ -207,7 +228,7 @@ class OnlineBatchingExecutor:
             if self.__verbose:
                 print(f"Task {tid} done")
         for tid, exc in failures.items():
-            self._record_failure(tid, exc)
+            await self._record_failure(tid, exc)
 
     async def _report(self, tid, pct, img, loss):
         await self.set_progress(tid, (pct, img))
@@ -216,11 +237,18 @@ class OnlineBatchingExecutor:
         if self.__report_progress is not None:
             await self.__report_progress(tid, (pct, img))
 
-    def _record_failure(self, tid, exc):
+    async def _record_failure(self, tid, exc):
         record_failure(
             self.failures, tid, exc,
             (lambda event, task_id: self.metrics.log(event, task=task_id))
             if self.metrics is not None else None)
+        if self.__report_failure is not None:
+            try:
+                await self.__report_failure(tid, exc)
+            except Exception:  # noqa: BLE001 — best-effort notification
+                import traceback
+
+                traceback.print_exc()
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -56,6 +56,7 @@ async def run_semaphore(pairs, cfg, params):
         from artstyletransfer_tpu.engine.transfer import (
             neural_style_transfer)
         kw.pop("params", None)
+        kw.pop("config", None)  # Task forwards it; we bind our own below
         async for out in neural_style_transfer(pair, *a, params=params,
                                                config=cfg, **kw):
             yield out

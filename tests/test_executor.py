@@ -17,7 +17,11 @@ def fake_engine_factory(n_yields=5, concurrency_probe=None, delay=0.0):
                           levels_num, noise_factor, noise_levels,
                           noise_levels_central_amplitude,
                           noise_levels_peripheral_amplitude,
-                          noise_levels_dispersion):
+                          noise_levels_dispersion, config=None):
+        # the Task must forward its full config (r4 fix: without it the
+        # engine rebuilt Config() and dropped every TPU-native knob)
+        assert config is not None
+        assert config.iters_num == iters_num
         if concurrency_probe is not None:
             concurrency_probe["live"] += 1
             concurrency_probe["max"] = max(concurrency_probe["max"],
@@ -180,3 +184,53 @@ def test_run_forever_processes_late_tasks():
         runner.cancel()
 
     asyncio.run(go())
+
+
+def test_report_failure_hook_notifies_frontend():
+    """The optional report_failure hook fires once per failed task with the
+    exception — how the bot tells a chat its job died instead of leaving
+    the user waiting forever (r4 fix)."""
+
+    async def broken_engine(pair, *args, **kwargs):
+        await asyncio.sleep(0)
+        raise RuntimeError("engine exploded")
+        yield  # pragma: no cover — makes this an async generator
+
+    notified = []
+
+    async def on_failure(task_id, error):
+        notified.append((task_id, str(error)))
+
+    ex = Executor(Config(), engine=broken_engine, verbose=False,
+                  report_failure=on_failure)
+
+    async def go():
+        await ex.add_task("bad", _pair())
+        await ex.run()
+
+    asyncio.run(go())
+    assert notified == [("bad", "engine exploded")]
+
+
+def test_progress_table_is_capped_for_terminal_entries():
+    """Forever-serving processes must not accumulate one final image per
+    completed task: terminal (done/failed) entries age out past the cap,
+    running tasks are never evicted (r4 fix)."""
+    from artstyletransfer_tpu.runtime import executor as executor_mod
+
+    progress = {}
+    failures = {}
+    for i in range(6):
+        progress[f"done{i}"] = (100.0, None)
+    progress["running"] = (40.0, None)
+    progress["failed"] = (-1, None)
+    failures["failed"] = RuntimeError("x")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(executor_mod, "MAX_PROGRESS_ENTRIES", 3):
+        executor_mod.prune_progress(progress, failures)
+    # oldest terminal entries evicted down to the cap; the running task
+    # survives regardless of age
+    assert "running" in progress
+    assert len(progress) == 3

@@ -545,3 +545,66 @@ def test_queue_cli_manifest_validation(tmp_path):
         ["--output-dir", str(tmp_path)])
     with pytest.raises(ValueError, match="no jobs"):
         queue_cli.load_jobs(ns2)
+
+
+def test_bot_apologizes_and_cleans_up_on_engine_failure():
+    """A failed job notifies the chat and releases its tasks_table entry
+    (r4 fix — the reference leaves the user waiting forever)."""
+    async def broken_engine(pair, *args, **kwargs):
+        await asyncio.sleep(0)
+        raise RuntimeError("engine exploded")
+        yield  # pragma: no cover — async generator
+
+    client = FakeTelegramClient()
+    client.files["f1"] = _jpeg_bytes()
+    client.files["f2"] = _jpeg_bytes()
+    bot = StyleTransferBot(client, Config(iters_num=2),
+                           engine=broken_engine)
+
+    async def go():
+        await bot.album_handler([
+            _photo_message(42, "f1", "g1"),
+            _photo_message(42, "f2", "g1"),
+        ])
+        await bot.executor.run()
+        await asyncio.sleep(0.05)
+
+    asyncio.run(go())
+    assert any("went wrong" in t for chat, t in client.messages if chat == 42)
+    assert bot.tasks_table == {}
+
+
+def test_bot_survives_transient_send_failure():
+    """One failed send_photo (network blip / user blocked the bot) skips
+    that update instead of killing the job; the run still completes and
+    the final photo is delivered (r4 fix)."""
+    class FlakyClient(FakeTelegramClient):
+        def __init__(self):
+            super().__init__()
+            self.failures_left = 1
+
+        async def send_photo(self, chat_id, jpeg_bytes, caption,
+                             filename=None):
+            if self.failures_left > 0:
+                self.failures_left -= 1
+                raise ConnectionError("telegram hiccup")
+            await super().send_photo(chat_id, jpeg_bytes, caption,
+                                     filename=filename)
+
+    client = FlakyClient()
+    client.files["f1"] = _jpeg_bytes()
+    client.files["f2"] = _jpeg_bytes()
+    bot = StyleTransferBot(client, Config(iters_num=2), engine=fake_engine)
+
+    async def go():
+        await bot.album_handler([
+            _photo_message(42, "f1", "g1"),
+            _photo_message(42, "f2", "g1"),
+        ])
+        await bot.executor.run()
+        await asyncio.sleep(0.05)
+
+    asyncio.run(go())
+    assert bot.executor.failures == {}
+    assert "Done!" in [c for _, c in client.photos]
+    assert bot.tasks_table == {}
