@@ -155,11 +155,14 @@ def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     # warmup: compile + first chunk (no intermediate image fetches: one D2H
     # per chunk is the cost of progress streaming, and this host reaches the
     # chip over a low-bandwidth tunnel that would dominate the measurement).
-    # Throughput's skipped first interval IS the compile-bearing chunk; the
-    # final chunk syncs (float(f) inside run()), so the aggregate over the
-    # remaining intervals is exactly (steps after warmup)/(wall after sync).
+    # Throughput's skipped first interval IS the compile-bearing chunk. The
+    # timed region ends at a SCALAR loss fetch on the last timed chunk —
+    # run()'s final chunk also materializes the full image (~19 MB at
+    # 1024px, ~4s through this tunnel), so one extra untimed tail chunk
+    # carries that fetch OUTSIDE the measurement.
     t0 = time.time()
-    it = job.run(iters_num=n_steps + chunk, stream_every=chunk,
+    total_timed = chunk + n_steps  # warmup chunk + timed steps
+    it = job.run(iters_num=total_timed + chunk, stream_every=chunk,
                  yield_images=False)
     tp = Throughput()
     tp.tick(0)
@@ -168,10 +171,15 @@ def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     tp.tick(chunk)
     log(f"bench: compile+warmup chunk {time.time() - t0:.1f}s")
 
-    done = chunk
+    f_timed = f0
     for done, img, f in it:
-        tp.tick(done)
-    log(f"bench: {done - chunk} steps at {tp.steps_per_sec:.4f} steps/s, "
+        if done <= total_timed:
+            f_timed = f
+            if done == total_timed:
+                float(f_timed)  # scalar sync: the timed region ends HERE
+            tp.tick(done)
+        # else: untimed tail chunk (absorbs run()'s final image D2H)
+    log(f"bench: {n_steps} steps at {tp.steps_per_sec:.4f} steps/s, "
         f"final loss {float(f):.4e}")
     return tp.steps_per_sec
 
@@ -186,19 +194,22 @@ def measure_ours_batched(content, style, cfg, batch, n_steps=200,
     job = BatchedTransferJob([content] * batch, [style] * batch, cfg)
     log(f"bench: batched job setup {time.time() - t0:.1f}s "
         f"(batch={batch}, pyramid {job.level_shapes})")
-    it = job.run(iters_num=n_steps + chunk, stream_every=chunk,
+    # same timed-window protocol as measure_ours: the timed region ends at
+    # a per-job scalar loss sync; one extra untimed tail chunk absorbs
+    # run()'s final batched image fetch (batch x ~5-19 MB over the tunnel)
+    total_timed = chunk + n_steps
+    it = job.run(iters_num=total_timed + chunk, stream_every=chunk,
                  yield_images=False)
     tp = Throughput()
     tp.tick(0)
     _done, _imgs, f0 = next(it)
     np.asarray(f0)  # sync: warmup chunk executed before timing starts
     tp.tick(chunk)
-    done = chunk
     for done, _imgs, f in it:
-        pass
-    np.asarray(f)
-    tp.tick(done)
-    log(f"bench: {done - chunk} steps x {batch} jobs at "
+        if done == total_timed:
+            np.asarray(f)  # sync: the timed region ends HERE
+            tp.tick(done)
+    log(f"bench: {n_steps} steps x {batch} jobs at "
         f"{tp.steps_per_sec:.4f} steps/s/job-row")
     return batch * tp.steps_per_sec
 
@@ -297,13 +308,22 @@ def main():
     overrides = dict(BENCH_CONFIGS[name])
     batch = overrides.pop("_batch", 0)
     cfg_steps = overrides.pop("_steps", None)
-    env_steps = os.environ.get("ASTT_BENCH_STEPS")
+    # `or None` treats an EMPTY env var as unset (someone "unsetting" it
+    # inline must not silently count as an explicit override)
+    env_steps = os.environ.get("ASTT_BENCH_STEPS") or None
     n_steps = int(env_steps or cfg_steps or 300)
     steps_explicit = env_steps is not None or cfg_steps is not None
     cfg_chunk = overrides.pop("_chunk", None)
-    env_chunk = os.environ.get("ASTT_BENCH_CHUNK")
+    env_chunk = os.environ.get("ASTT_BENCH_CHUNK") or None
     chunk = int(env_chunk or cfg_chunk or 50)
     chunk_explicit = env_chunk is not None or cfg_chunk is not None
+    if n_steps <= 0 or chunk <= 0:
+        print(json.dumps({
+            "metric": f"optimizer steps/sec, {name}",
+            "value": 0.0, "unit": "steps/sec", "vs_baseline": None,
+            "error": f"invalid ASTT_BENCH_STEPS/CHUNK ({n_steps}/{chunk})",
+        }), flush=True)
+        return 1
     overrides.setdefault("optimizer", "adam")
     cfg = Config(stream_every=50, init_method="content+noise", **overrides)
     content, style = load_images()
@@ -358,4 +378,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

@@ -88,6 +88,24 @@ def main():
     log = open(args.metrics + ".serverlog", "w")
     proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
     base = f"http://127.0.0.1:{args.port}"
+    try:
+        return _drive(args, proc, base, t0)
+    except Exception as e:  # noqa: BLE001 — keep the one-JSON-line contract
+        import traceback
+
+        traceback.print_exc()
+        pct, _events, _ = read_metrics(args.metrics)
+        print(json.dumps({
+            "error": f"{type(e).__name__}: {e}",
+            "pairs": args.pairs,
+            "wall_s": round(time.perf_counter() - t0, 1),
+            "tasks_seen": len(pct),
+            "tasks_done": sum(1 for v in pct.values() if v >= 100.0),
+        }))
+        return 1
+
+
+def _drive(args, proc, base, t0):
     done_wall = None
     try:
         last_report = 0.0
@@ -110,15 +128,18 @@ def main():
             time.sleep(5)
 
         # confirm through the product surface: every card rendered, no
-        # failures, and one generated image serves
+        # failures, and one generated image serves. The fetched id must be
+        # a COMPLETED task (a failed/rendering card's /generated/ route
+        # returns the 12-byte "No image yet" text, which would pass a
+        # naive ids[0] check vacuously).
         html = urllib.request.urlopen(f"{base}/", timeout=30).read().decode()
         n_cards = len(re.findall(r"/generated/[0-9a-f-]{36}", html))
         failed = len(re.findall(r'class="card failed"', html))
-        ids = re.findall(r"/generated/([0-9a-f-]{36})", html)
+        done_ids = [tid for tid, p in pct.items() if p >= 100.0]
         image_bytes = 0
-        if ids:
+        if done_ids:
             image_bytes = len(urllib.request.urlopen(
-                f"{base}/generated/{ids[0]}", timeout=60).read())
+                f"{base}/generated/{done_ids[0]}", timeout=60).read())
     finally:
         proc.send_signal(signal.SIGTERM)
         try:
@@ -142,7 +163,8 @@ def main():
         "sample_image_bytes": image_bytes,
     }
     print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

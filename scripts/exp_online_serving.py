@@ -14,7 +14,6 @@ Prints one JSON summary line.
 
 import argparse
 import asyncio
-import dataclasses
 import json
 import sys
 import time
@@ -108,13 +107,25 @@ def main():
     for _ in wj.run(iters_num=args.stream_every,
                     stream_every=args.stream_every, yield_images=False):
         pass
-    print("[warmup] batch graph ...", file=sys.stderr)
-    wb = BatchedTransferJob([p.content[1] for p in pairs],
-                            [p.style[1] for p in pairs], cfg,
-                            params=params)
-    for _ in wb.run(iters_num=args.stream_every,
-                    stream_every=args.stream_every, yield_images=False):
-        pass
+    # warm the EXACT padded batch sizes the online executor will dispatch
+    # (pad_batches rounds each round up the power-of-two ladder, capped at
+    # its max_batch=8 default; groups beyond the cap split into size-8
+    # rounds) — warming args.jobs verbatim would leave e.g. --jobs 6
+    # hitting a cold batch-8 compile INSIDE the timed online region
+    sizes = set()
+    remaining = args.jobs
+    while remaining > 0:
+        g = min(remaining, 8)
+        sizes.add(min(8, 1 << (g - 1).bit_length()))
+        remaining -= g
+    for size in sorted(sizes):
+        print(f"[warmup] batch-{size} graph ...", file=sys.stderr)
+        wb = BatchedTransferJob([pairs[0].content[1]] * size,
+                                [pairs[0].style[1]] * size, cfg,
+                                params=params)
+        for _ in wb.run(iters_num=args.stream_every,
+                        stream_every=args.stream_every, yield_images=False):
+            pass
 
     print("[run] semaphore executor (reference scheduling) ...",
           file=sys.stderr)

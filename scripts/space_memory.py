@@ -26,8 +26,18 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
+    # the virtual device count must cover the REQUESTED mesh geometry
+    # (jobs x space), and it must be pinned before jax imports — peek at
+    # the mesh args pre-argparse
+    _n = 1
+    for _name in ("--jobs", "--space"):
+        try:
+            _n *= max(1, int(sys.argv[sys.argv.index(_name) + 1]))
+        except (ValueError, IndexError):
+            _n *= 8 if _name == "--space" else 1  # the argparse defaults
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+        _flags + f" --xla_force_host_platform_device_count={max(_n, 8)}"
+    ).strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -71,23 +71,33 @@ def candidates(cfg: Config):
 
 def run_to_target(job: TransferJob, target: float, steps_cap: int,
                   chunk: int):
-    """(steps, wall_s, loss) at the first chunk boundary whose loss <=
-    target (or the cap). A full warmup chunk (same static chunk size =
-    same executable) runs first so compile is excluded from the timing."""
-    for _ in job.run(iters_num=chunk, stream_every=chunk,
-                     yield_images=False):
-        pass  # compile + warm the executable; state is discarded
+    """(steps, wall_s, loss, final_img) at the first chunk boundary whose
+    loss <= target (or the cap). Warmup compiles EVERY static chunk size
+    the timed run can trace — the steady k=chunk executable plus the
+    final partial chunk (steps_cap % chunk, or steps_cap itself when it
+    is below one chunk) — so no XLA compile ever lands inside the timed
+    region. final_img is non-None only when the run reached its very
+    last chunk (run() materializes the image there even with
+    yield_images=False)."""
+    sizes = {min(chunk, steps_cap)}
+    if steps_cap > chunk and steps_cap % chunk:
+        sizes.add(steps_cap % chunk)
+    for k in sorted(sizes):
+        for _ in job.run(iters_num=k, stream_every=k, yield_images=False):
+            pass  # compile + warm the executable; state is discarded
 
     t0 = time.perf_counter()
     last = (0, float("inf"))
-    for done, _img, f in job.run(iters_num=steps_cap, stream_every=chunk,
-                                 yield_images=False):
+    final_img = None
+    for done, img, f in job.run(iters_num=steps_cap, stream_every=chunk,
+                                yield_images=False):
         f = float(f)  # single scalar fetch = the device sync point
         last = (done, f)
+        final_img = img
         if f <= target:
             break
     wall = time.perf_counter() - t0
-    return last[0], wall, last[1]
+    return last[0], wall, last[1], final_img
 
 
 def main():
@@ -117,31 +127,37 @@ def main():
           f"(= reference iters_num={cfg.iters_num}) ...", file=sys.stderr)
     ref_job = TransferJob(content, style, ref_cfg, params=params)
     t0 = time.perf_counter()
-    steps0, wall0, target = run_to_target(ref_job, -np.inf, ref_steps,
-                                          args.chunk)
+    steps0, wall0, target, target_img = run_to_target(
+        ref_job, -np.inf, ref_steps, args.chunk)
     print(f"[target] loss {target:.6e} after {steps0} steps "
           f"({wall0:.1f}s)", file=sys.stderr)
 
-    # shared f32 metric graph for the cross-precision final check
+    # shared f32 metric graph for the cross-precision final check — the
+    # TARGET's image is scored under it too, so every row (target and
+    # candidates, any compute dtype) has a comparable f32-scale loss
     f32_cfg = dataclasses.replace(cfg, compute_dtype="float32",
                                   optimizer="adam")
     metric_job = TransferJob(content, style, f32_cfg, params=params)
+    target_f32, _ = metric_job.loss_report(target_img)
 
     rows = [{"config": name0, "role": "target",
              "steps": steps0, "wall_s": round(wall0, 2),
-             "loss": target,
+             "loss": target, "f32_loss": target_f32,
              "steps_per_s": round(steps0 / wall0, 3)}]
     for name, c in candidates(cfg)[1:]:
         print(f"[run] {name} to target ...", file=sys.stderr)
         job = TransferJob(content, style, c, params=params)
-        steps, wall, loss = run_to_target(job, target, args.steps_cap,
-                                          args.chunk)
-        # re-score under the shared f32 metric graph (deterministic
-        # re-run to the same step, reusing the warmed chunk executable)
-        final_img = None
-        for _d, img, _f in job.run(iters_num=steps, stream_every=args.chunk,
-                                   yield_images=False):
-            final_img = img
+        steps, wall, loss, final_img = run_to_target(job, target,
+                                                     args.steps_cap,
+                                                     args.chunk)
+        if final_img is None:
+            # target reached at an intermediate chunk: deterministic
+            # re-run to the same step (the k=chunk executable is warm;
+            # the final partial chunk may compile here, OUTSIDE timing)
+            for _d, img, _f in job.run(iters_num=steps,
+                                       stream_every=args.chunk,
+                                       yield_images=False):
+                final_img = img
         f32_loss, _ = metric_job.loss_report(final_img)
         rows.append({
             "config": name, "role": "candidate",
