@@ -7,9 +7,17 @@ on a virtual mesh, per the multi-chip testing strategy.
 
 import os
 
+import re
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # the ambient env points at the real TPU
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if "xla_force_host_platform_device_count" in _flags:
+    # an ambient flag with a DIFFERENT count (left by a bench/memory
+    # script) would silently shrink the suite's virtual mesh — rewrite it
+    _flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                    "--xla_force_host_platform_device_count=8", _flags)
+    os.environ["XLA_FLAGS"] = _flags
+else:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()

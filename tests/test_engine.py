@@ -97,29 +97,6 @@ def test_loss_parity_pre_relu_taps(images, vgg_params):
     assert not np.isclose(ours_total, relu_total, rtol=1e-3)
 
 
-def test_lbfgs_minimizes_quadratic():
-    """Strong-Wolfe L-BFGS drives a convex quadratic to its optimum."""
-    rng = np.random.default_rng(3)
-    n = 16
-    a = rng.standard_normal((n, n)).astype(np.float32)
-    A = a @ a.T + np.eye(n, dtype=np.float32) * 0.5
-    b = rng.standard_normal(n).astype(np.float32)
-    x_opt = np.linalg.solve(A, b)
-
-    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
-
-    def loss_grad(x):
-        f = 0.5 * x @ A_j @ x - b_j @ x
-        g = A_j @ x - b_j
-        return f, g
-
-    x = jnp.zeros(n)
-    state = lbfgs_mod.init_state(loss_grad, x, history=8)
-    for _ in range(30):
-        x, state = lbfgs_mod.lbfgs_step(loss_grad, x, state, jnp.float32(1.0))
-    np.testing.assert_allclose(np.asarray(x), x_opt, rtol=1e-3, atol=1e-3)
-
-
 def test_lbfgs_tracks_torch_on_quadratic():
     """Loss trajectory comparable to torch LBFGS(max_iter=1, strong_wolfe)."""
     rng = np.random.default_rng(5)

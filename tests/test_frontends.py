@@ -26,21 +26,10 @@ def fresh_semaphore():
     executor_mod.reset_semaphore()
 
 
-async def fake_engine(pair, *args, **kwargs):
-    for i in range(2):
-        await asyncio.sleep(0)
-        pct = (i + 1) * 50.0
-        yield pct, np.full((8, 8, 3), 0.5, np.float32)
-
-
-def _write_demo_images(tmp_path):
-    import cv2
-
-    for sub in ("content-images", "style-images"):
-        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
-    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype("uint8")
-    cv2.imwrite(str(tmp_path / "content-images" / "c.jpg"), img)
-    cv2.imwrite(str(tmp_path / "style-images" / "s.jpg"), img)
+# shared fakes (aiohttp-free, see astt_fakes.py); re-exported here because
+# sibling modules historically do `from test_frontends import ...`
+from astt_fakes import (FakeTelegramClient, _jpeg_bytes,  # noqa: E402,F401
+                        _photo_message, _write_demo_images, fake_engine)
 
 
 def test_lab_routes(tmp_path):
@@ -52,7 +41,14 @@ def test_lab_routes(tmp_path):
         client = TestClient(TestServer(app))
         await client.start_server()
         try:
-            await asyncio.sleep(0.2)  # let the backend task enqueue + run
+            # poll until the backend task enqueued AND the job completed
+            # (a fixed sleep flakes on a loaded 1-core host)
+            for _ in range(200):
+                await asyncio.sleep(0.05)
+                ids = await app["executor"].task_ids()
+                if ids and (await app["executor"].get_progress(ids[0]))[0] \
+                        >= 100:
+                    break
             resp = await client.get("/")
             assert resp.status == 200
             html = await resp.text()
@@ -114,37 +110,6 @@ def test_lab_batched_mode(tmp_path):
             await client.close()
 
     asyncio.run(go())
-
-
-class FakeTelegramClient:
-    def __init__(self):
-        self.messages = []   # (chat_id, text)
-        self.photos = []     # (chat_id, caption)
-        self.files = {}      # file_id -> bytes
-
-    async def send_message(self, chat_id, text):
-        self.messages.append((chat_id, text))
-
-    async def send_photo(self, chat_id, jpeg_bytes, caption, filename=None):
-        assert jpeg_bytes[:2] == b"\xff\xd8"
-        self.photos.append((chat_id, caption))
-
-    async def download_file(self, file_id):
-        return self.files[file_id]
-
-
-def _photo_message(chat_id, file_id, group_id=None):
-    msg = {"chat": {"id": chat_id},
-           "photo": [{"file_id": f"{file_id}-small"},
-                     {"file_id": file_id}]}
-    if group_id:
-        msg["media_group_id"] = group_id
-    return msg
-
-
-def _jpeg_bytes():
-    return encode_jpeg(np.random.default_rng(1).random((8, 8, 3))
-                       .astype(np.float32))
 
 
 def test_bot_start_and_fallback():

@@ -93,13 +93,21 @@ def test_cli_defaults_match_reference():
     assert cfg == Config()  # reference config.py defaults
 
 
-def test_compilation_cache_idempotent(tmp_path):
+def test_compilation_cache_idempotent(tmp_path, monkeypatch):
+    import jax
+
     from artstyletransfer_tpu.utils import cache
 
-    cache._enabled = False
-    cache.enable_compilation_cache(str(tmp_path / "c1"))
-    assert cache._enabled
-    cache.enable_compilation_cache(str(tmp_path / "c2"))  # no-op, no raise
+    # save/restore the process-wide state: leaving the real JAX compile
+    # cache pointed at a pytest tmp dir would leak into every later test
+    prev_dir = jax.config.jax_compilation_cache_dir
+    monkeypatch.setattr(cache, "_enabled", False)
+    try:
+        cache.enable_compilation_cache(str(tmp_path / "c1"))
+        assert cache._enabled
+        cache.enable_compilation_cache(str(tmp_path / "c2"))  # no-op
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
 
 
 def test_bfloat16_compute_runs_and_tracks_f32(images, vgg_params):

@@ -189,13 +189,9 @@ def test_lab_online_mode(tmp_path):
 
     from artstyletransfer_tpu.frontends.lab import create_app
 
-    import cv2
+    from astt_fakes import _write_demo_images
 
-    for sub in ("content-images", "style-images"):
-        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
-    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype("uint8")
-    cv2.imwrite(str(tmp_path / "content-images" / "c.jpg"), img)
-    cv2.imwrite(str(tmp_path / "style-images" / "s.jpg"), img)
+    _write_demo_images(tmp_path)
 
     runner = FakeQueueRunner()
     executor = OnlineBatchingExecutor(Config(iters_num=2), verbose=False,
@@ -233,7 +229,7 @@ def test_lab_online_mode(tmp_path):
 def test_bot_online_mode_album_batches():
     """The bot's --online-batching path: two albums arriving together run
     as one coalesced round and both chats get their 'Done!' photo."""
-    from tests.test_frontends import FakeTelegramClient, _photo_message, \
+    from test_frontends import FakeTelegramClient, _photo_message, \
         _jpeg_bytes
     from artstyletransfer_tpu.frontends.tlbot import StyleTransferBot
 

@@ -117,7 +117,7 @@ def test_cli_tpu_knob_flags():
 
 
 def test_bot_escapes_html_in_first_name():
-    from test_frontends import FakeTelegramClient, fake_engine
+    from astt_fakes import FakeTelegramClient, fake_engine
     from artstyletransfer_tpu.frontends.tlbot import StyleTransferBot
 
     client = FakeTelegramClient()
@@ -132,7 +132,7 @@ def test_bot_escapes_html_in_first_name():
 def test_bot_polling_survives_handler_exception():
     """One malformed update must not kill the polling loop (round-1 bug:
     an exception in handle_message escaped run_polling)."""
-    from test_frontends import FakeTelegramClient, fake_engine
+    from astt_fakes import FakeTelegramClient, fake_engine
     from artstyletransfer_tpu.frontends.tlbot import StyleTransferBot
 
     class ScriptedClient(FakeTelegramClient):

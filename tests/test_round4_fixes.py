@@ -13,18 +13,20 @@ from artstyletransfer_tpu.runtime import executor as executor_mod
 from artstyletransfer_tpu.runtime.executor import Executor
 
 
+@pytest.fixture(autouse=True)
+def fresh_semaphore():
+    # exception-safe (the hand-rolled trailing reset_semaphore() calls
+    # this replaces were skipped whenever an assertion failed mid-test)
+    executor_mod.reset_semaphore()
+    yield
+    executor_mod.reset_semaphore()
+
+
 # ---------------------------------------------------------------------------
 # Per-job load-failure isolation
 # ---------------------------------------------------------------------------
 
-def _write_demo_images(tmp_path):
-    import cv2
-
-    for sub in ("content-images", "style-images"):
-        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
-    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype("uint8")
-    cv2.imwrite(str(tmp_path / "content-images" / "c.jpg"), img)
-    cv2.imwrite(str(tmp_path / "style-images" / "s.jpg"), img)
+from astt_fakes import _write_demo_images  # noqa: E402
 
 
 def test_queue_cli_load_jobs_isolates_bad_images(tmp_path):
@@ -94,7 +96,6 @@ def test_lab_load_failure_renders_failed_card(tmp_path):
     async def fake_engine(pair, *args, **kwargs):
         yield 100.0, np.full((8, 8, 3), 0.5, np.float32)
 
-    executor_mod.reset_semaphore()
     app = create_app(config=Config(iters_num=2), data_dir=str(tmp_path),
                      pairs=[("c.jpg", "s.jpg"), ("missing.jpg", "s.jpg")],
                      engine=fake_engine)
@@ -119,7 +120,6 @@ def test_lab_load_failure_renders_failed_card(tmp_path):
             await client.close()
 
     asyncio.run(go())
-    executor_mod.reset_semaphore()
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +136,6 @@ def test_executor_failures_bounded(monkeypatch):
         yield  # pragma: no cover — makes this an async generator
 
     async def go():
-        executor_mod.reset_semaphore()
         ex = Executor(Config(iters_num=1), engine=failing_engine,
                       verbose=False)
         for i in range(8):
@@ -145,7 +144,6 @@ def test_executor_failures_bounded(monkeypatch):
         return ex
 
     ex = asyncio.run(go())
-    executor_mod.reset_semaphore()
     assert len(ex.failures) == 5
     # insertion order: the oldest three aged out
     assert sorted(ex.failures) == ["t3", "t4", "t5", "t6", "t7"]
