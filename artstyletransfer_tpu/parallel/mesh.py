@@ -40,3 +40,43 @@ def jobs_space_mesh(n_jobs: int, n_space: int,
         raise ValueError(f"need {need} devices, have {len(devices)}")
     arr = np.array(devices[:need]).reshape(n_jobs, n_space)
     return Mesh(arr, axis_names=("jobs", "space"))
+
+
+def multislice_jobs_space_mesh(n_space: int = 1,
+                               slice_devices: Optional[
+                                   Sequence[Sequence]] = None) -> Mesh:
+    """('jobs', 'space') mesh spanning multiple TPU slices (DCN scale-out).
+
+    Style-transfer jobs are fully independent — the batched graph is a
+    vmap whose only sharded axis is the batch (spmd_axis_name='jobs'), so
+    the 'jobs' axis carries ZERO collectives and may safely cross the slow
+    DCN boundary between slices. The 'space' axis DOES carry collectives
+    (halo exchanges for pools/convs, psums for the losses), so every space
+    group must stay inside one slice and ride ICI. This helper encodes that
+    placement rule: each slice's devices form whole (job-row x n_space)
+    blocks, and rows from successive slices are stacked along 'jobs'.
+
+    slice_devices: explicit per-slice device lists (mainly for tests /
+    virtual devices). By default, jax.devices() are grouped by their
+    `slice_index` attribute; platforms that do not report one (CPU,
+    single-slice TPU) collapse to a single group, making this a drop-in
+    superset of jobs_space_mesh for any n_jobs = n_devices / n_space.
+    """
+    if slice_devices is None:
+        groups: dict = {}
+        for d in jax.devices():
+            groups.setdefault(getattr(d, "slice_index", 0) or 0,
+                              []).append(d)
+        slice_devices = [groups[k] for k in sorted(groups)]
+    if n_space < 1:
+        raise ValueError(f"n_space must be >= 1, got {n_space}")
+    rows = []
+    for i, devs in enumerate(slice_devices):
+        if not len(devs) or len(devs) % n_space:
+            raise ValueError(
+                f"slice {i} has {len(devs)} devices, not a non-zero "
+                f"multiple of n_space={n_space}; a space group must not "
+                f"straddle the DCN boundary")
+        rows.append(np.array(devs).reshape(-1, n_space))
+    arr = np.concatenate(rows, axis=0)
+    return Mesh(arr, axis_names=("jobs", "space"))

@@ -564,3 +564,62 @@ def test_run_job_queue_pad_batches_pow2(vgg_params, rng, monkeypatch):
     assert fail == {} and pads == [(2, None)]
     np.testing.assert_allclose(res_pad["t0"], res_exact["t0"],
                                rtol=1e-3, atol=1e-3)
+
+
+# ---- multi-slice (DCN) mesh construction -------------------------------
+# Jobs are independent (no cross-job collectives), so the 'jobs' axis may
+# span slices over DCN; the 'space' axis carries halo/psum collectives and
+# must stay inside one slice (ICI). multislice_jobs_space_mesh encodes
+# that placement rule; no multi-slice hardware exists here, so the tests
+# drive it with explicit per-slice device lists on the virtual mesh.
+
+
+def test_multislice_mesh_keeps_space_within_slice():
+    from artstyletransfer_tpu.parallel import multislice_jobs_space_mesh
+
+    devs = jax.devices()
+    # two pretend 4-device slices, deliberately NOT in jax.devices() order
+    slices = [devs[4:], devs[:4]]
+    mesh = multislice_jobs_space_mesh(2, slice_devices=slices)
+    assert mesh.axis_names == ("jobs", "space")
+    assert mesh.devices.shape == (4, 2)
+    owner = {d: i for i, s in enumerate(slices) for d in s}
+    for row in mesh.devices:
+        assert len({owner[d] for d in row}) == 1, (
+            "a space group straddles the DCN boundary")
+    # job rows stack slice-major in the declared order
+    assert all(owner[d] == 0 for d in mesh.devices[:2].ravel())
+    assert all(owner[d] == 1 for d in mesh.devices[2:].ravel())
+
+
+def test_multislice_mesh_default_grouping_and_validation():
+    from artstyletransfer_tpu.parallel import multislice_jobs_space_mesh
+
+    # CPU devices report no slice_index -> one group = all 8 devices
+    mesh = multislice_jobs_space_mesh(2)
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        multislice_jobs_space_mesh(3)  # 8 devices not divisible by 3
+    with pytest.raises(ValueError):  # a 3-device slice can't host space=2
+        multislice_jobs_space_mesh(
+            2, slice_devices=[jax.devices()[:3], jax.devices()[3:6]])
+    with pytest.raises(ValueError):
+        multislice_jobs_space_mesh(0)
+
+
+def test_batched_runs_on_multislice_mesh(jobs_data, vgg_params):
+    """One tiny step over a nontrivially-permuted 2-slice mesh executes."""
+    from artstyletransfer_tpu.parallel import multislice_jobs_space_mesh
+
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=1, base_diameter=16,
+                 optimizer="adam", stream_every=1)
+    devs = jax.devices()
+    mesh = multislice_jobs_space_mesh(
+        2, slice_devices=[devs[6:8], devs[2:4]])
+    batch = BatchedTransferJob(contents[:2], styles[:2], cfg,
+                               params=vgg_params, mesh=mesh,
+                               shard_space=True)
+    done, imgs, losses = list(batch.run())[-1]
+    assert done == 1 and imgs.shape[0] == 2
+    assert np.isfinite(losses).all()
