@@ -25,7 +25,8 @@ def warmup_aspect_buckets(cfg: Config, params=None,
                           aspects: Sequence[float] = DEFAULT_ASPECT_BUCKETS,
                           verbose: bool = True,
                           steps: Optional[int] = None,
-                          batch_sizes: Optional[Sequence[int]] = None) -> int:
+                          batch_sizes: Optional[Sequence[int]] = None,
+                          mesh=None) -> int:
     """Compile and run one chunk of the engine for every aspect bucket.
 
     Returns the number of executables warmed. Uses dummy images; the
@@ -37,6 +38,12 @@ def warmup_aspect_buckets(cfg: Config, params=None,
     when its policy routes a round batched. Pass the same power-of-two
     sizes the online executor pads to (runtime/online.py pad_batches), so
     no coalesced round ever hits a cold compile mid-serve.
+
+    mesh must match the mesh the serving path will dispatch with (the
+    executable is keyed on the sharding too): pass the same
+    default_serving_mesh() the online executor holds on multi-chip hosts.
+    Sizes that pad to the same jobs-axis multiple dedup via the compile
+    cache.
     """
     from .transfer import TransferJob
 
@@ -55,7 +62,7 @@ def warmup_aspect_buckets(cfg: Config, params=None,
                 from ..parallel.batch import BatchedTransferJob
 
                 job = BatchedTransferJob([content] * size, [style] * size,
-                                         cfg, params=params)
+                                         cfg, params=params, mesh=mesh)
             for _ in job.run(iters_num=k, stream_every=k,
                              yield_images=False):
                 pass

@@ -104,10 +104,12 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         metrics = MetricsLogger(metrics_path)
     if executor is None:
         if online:
+            from ..parallel import default_serving_mesh
             from ..runtime.online import OnlineBatchingExecutor
 
             executor = OnlineBatchingExecutor(config, verbose=False,
-                                              metrics=metrics)
+                                              metrics=metrics,
+                                              mesh=default_serving_mesh())
         else:
             executor = Executor(config, engine=engine, verbose=False,
                                 metrics=metrics)
@@ -148,7 +150,7 @@ def create_app(config=None, data_dir: str = None, pairs=None,
                 ContentStylePair((c_name, content), (s_name, style)))
 
     async def backend_task_batched(app):
-        from ..parallel import run_job_queue
+        from ..parallel import default_serving_mesh, run_job_queue
 
         loaded = []
         for c_name, content, s_name, style, err in _load_pairs():
@@ -187,6 +189,7 @@ def create_app(config=None, data_dir: str = None, pairs=None,
 
         _results, failures = await loop.run_in_executor(
             None, lambda: run_job_queue(jobs, config, progress=report,
+                                        mesh=default_serving_mesh(),
                                         canonicalize_styles=True))
         from ..runtime.executor import record_failure
 

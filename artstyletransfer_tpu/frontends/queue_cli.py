@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-optimizer routing; see parallel/batch.py")
     p.add_argument("--max-batch", type=int, default=None,
                    help="cap jobs per compiled batch (default: HBM-aware)")
+    p.add_argument("--mesh", default="auto", choices=["auto", "none"],
+                   help="'auto' (default) batches jobs across every "
+                        "visible chip (multislice-aware; no-op on one "
+                        "chip); 'none' stays single-device. The "
+                        "ASTT_SERVING_MESH env var can force 'none'.")
+    p.add_argument("--space", type=int, default=1, metavar="N",
+                   help="shard each job's pixels over N chips within a "
+                        "slice (HBM relief for 2K/4-level jobs); needs "
+                        "--mesh auto and N | chips-per-slice")
     p.add_argument("--canonicalize-styles", action="store_true",
                    help="square styles to the base diameter so mixed "
                         "aspect ratios share one compiled batch")
@@ -149,10 +158,20 @@ def main(argv=None) -> int:
     from ..parallel import run_job_queue
     from ..utils.metrics import MetricsLogger
 
+    mesh = None
+    if args.mesh == "auto":
+        from ..parallel import default_serving_mesh
+
+        mesh = default_serving_mesh(args.space)
+    elif args.space > 1:
+        parser.error("--space > 1 requires --mesh auto")
+
     if not args.quiet:
+        mesh_desc = (f"mesh={dict(mesh.shape)}" if mesh is not None
+                     else "single-device")
         print(f"queue: {len(jobs)} jobs, policy={args.batch_policy}, "
               f"optimizer={cfg.optimizer}, levels={cfg.levels_num}, "
-              f"iters={cfg.iters_num}")
+              f"iters={cfg.iters_num}, {mesh_desc}")
 
     t0 = time.time()
     with MetricsLogger(args.metrics) as metrics:
@@ -163,6 +182,7 @@ def main(argv=None) -> int:
 
         results, failures = run_job_queue(
             jobs, cfg, params=params, progress=report,
+            mesh=mesh, shard_space=args.space > 1 and mesh is not None,
             batch_policy=args.batch_policy, max_batch=args.max_batch,
             canonicalize_styles=args.canonicalize_styles,
             canonicalize_contents=args.canonicalize_contents,

@@ -139,13 +139,15 @@ class StyleTransferBot:
             # share a bucket run as ONE vmapped batch instead of
             # 2-at-a-time (runtime/online.py). The executor canonicalizes
             # at add_task, so the handler-level crop is redundant.
+            from ..parallel import default_serving_mesh
             from ..runtime.online import OnlineBatchingExecutor
 
             self.canonicalize = False
             self.executor = OnlineBatchingExecutor(
                 self.config, report_progress=self.task_progress_callback,
                 report_failure=self.task_failed_callback,
-                verbose=False, metrics=metrics)
+                verbose=False, metrics=metrics,
+                mesh=default_serving_mesh())
         else:
             self.executor = Executor(
                 self.config, report_progress=self.task_progress_callback,
@@ -370,8 +372,14 @@ def main(argv=None) -> int:
         from ..engine.warmup import warmup_aspect_buckets
 
         sizes = None
+        warm_mesh = None
         if args.online_batching:
+            from ..parallel import default_serving_mesh
             from ..parallel.batch import resolve_batch_policy
+
+            # warm the executables the ONLINE path will dispatch: same
+            # mesh (sharding is part of the executable key)
+            warm_mesh = default_serving_mesh()
 
             # online serving ALWAYS dispatches through BatchedTransferJob
             # (a separate executable from the single-job graph, even at
@@ -383,7 +391,7 @@ def main(argv=None) -> int:
             sizes = ((1, 2, 4, 8)
                      if resolve_batch_policy(cfg, "auto") == "batched"
                      else (1,))
-        warmup_aspect_buckets(cfg, batch_sizes=sizes)
+        warmup_aspect_buckets(cfg, batch_sizes=sizes, mesh=warm_mesh)
     metrics = None
     if args.metrics:
         from ..utils.metrics import MetricsLogger

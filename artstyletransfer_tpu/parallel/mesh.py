@@ -80,3 +80,29 @@ def multislice_jobs_space_mesh(n_space: int = 1,
         rows.append(np.array(devs).reshape(-1, n_space))
     arr = np.concatenate(rows, axis=0)
     return Mesh(arr, axis_names=("jobs", "space"))
+
+
+def default_serving_mesh(n_space: int = 1) -> Optional[Mesh]:
+    """The mesh the serving frontends (astt-queue, lab, bot) use when no
+    explicit mesh is given: every visible device, as a multislice-aware
+    ('jobs', 'space') mesh — so a reference user on a multi-chip host gets
+    all chips without flags. Returns None on a single device (the
+    mesh-free single-chip graphs compile leaner than a trivial 1-device
+    mesh). n_space > 1 must divide each slice's device count
+    (multislice_jobs_space_mesh validates).
+
+    Gated by ASTT_SERVING_MESH: 'auto' (default) as above; 'none'
+    disables frontend meshing entirely (the test suite forces 'none' so
+    its 8 virtual devices don't shard every frontend graph 8 ways).
+    """
+    import os
+
+    mode = os.environ.get("ASTT_SERVING_MESH", "auto").lower()
+    if mode in ("none", "off", "0"):
+        return None
+    if mode != "auto":
+        raise ValueError(
+            f"ASTT_SERVING_MESH must be 'auto' or 'none', got {mode!r}")
+    if len(jax.devices()) <= 1:
+        return None
+    return multislice_jobs_space_mesh(n_space)

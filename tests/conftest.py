@@ -30,6 +30,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The serving frontends default to meshing every visible device
+# (parallel.mesh.default_serving_mesh); on the suite's 8 VIRTUAL devices
+# that would shard every frontend graph 8 ways and pad tiny demo batches
+# up to 8 jobs. Force it off; mesh-path tests opt back in via monkeypatch.
+os.environ["ASTT_SERVING_MESH"] = "none"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

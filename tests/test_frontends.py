@@ -573,3 +573,39 @@ def test_bot_survives_transient_send_failure():
     assert bot.executor.failures == {}
     assert "Done!" in [c for _, c in client.photos]
     assert bot.tasks_table == {}
+
+
+def test_queue_cli_mesh_auto_wiring(tmp_path, monkeypatch):
+    """--mesh auto (the default) hands run_job_queue an all-device serving
+    mesh, and --space N turns on space sharding; the suite-wide
+    ASTT_SERVING_MESH=none gate is lifted for this test only."""
+    import artstyletransfer_tpu.parallel as parallel_mod
+    from artstyletransfer_tpu.frontends import queue_cli
+
+    _write_demo_images(tmp_path)
+    c = str(tmp_path / "content-images" / "c.jpg")
+    s = str(tmp_path / "style-images" / "s.jpg")
+    out = tmp_path / "out"
+
+    seen = {}
+
+    def fake_queue(jobs, cfg, **kw):
+        seen["mesh"] = kw["mesh"]
+        seen["shard_space"] = kw["shard_space"]
+        return ({j[0]: np.full((8, 8, 3), 0.5, np.float32) for j in jobs},
+                {})
+
+    monkeypatch.setattr(parallel_mod, "run_job_queue", fake_queue)
+    monkeypatch.setenv("ASTT_SERVING_MESH", "auto")
+    rc = queue_cli.main(["--pair", c, s, "--output-dir", str(out),
+                         "--space", "2", "--quiet"])
+    assert rc == 0
+    assert dict(seen["mesh"].shape) == {"jobs": 4, "space": 2}
+    assert seen["shard_space"] is True
+
+    # suite default: the env gate keeps frontends single-device
+    monkeypatch.setenv("ASTT_SERVING_MESH", "none")
+    rc = queue_cli.main(["--pair", c, s, "--output-dir", str(out),
+                         "--quiet"])
+    assert rc == 0
+    assert seen["mesh"] is None and seen["shard_space"] is False

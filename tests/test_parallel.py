@@ -623,3 +623,18 @@ def test_batched_runs_on_multislice_mesh(jobs_data, vgg_params):
     done, imgs, losses = list(batch.run())[-1]
     assert done == 1 and imgs.shape[0] == 2
     assert np.isfinite(losses).all()
+
+
+def test_default_serving_mesh_env_gate(monkeypatch):
+    from artstyletransfer_tpu.parallel import default_serving_mesh
+
+    # conftest forces ASTT_SERVING_MESH=none for the whole suite
+    assert default_serving_mesh() is None
+    monkeypatch.setenv("ASTT_SERVING_MESH", "auto")
+    mesh = default_serving_mesh()
+    assert dict(mesh.shape) == {"jobs": 8, "space": 1}
+    mesh2 = default_serving_mesh(2)
+    assert dict(mesh2.shape) == {"jobs": 4, "space": 2}
+    monkeypatch.setenv("ASTT_SERVING_MESH", "bogus")
+    with pytest.raises(ValueError):
+        default_serving_mesh()
