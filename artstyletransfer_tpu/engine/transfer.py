@@ -224,8 +224,8 @@ def warn_lbfgs_hbm(cfg: Config, level_shapes, batch: int = 1,
     shard = f" over {space} chips" if space > 1 else ""
     print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB per "
           f"device{shard} ({jobs}history={cfg.lbfgs_history}); consider "
-          f"--lbfgs-history 10, shard-space over more chips, or a smaller "
-          f"batch/resolution",
+          f"--lbfgs-history 10, sharding the pixels over more chips "
+          f"(astt-queue --space N), or a smaller batch/resolution",
           file=sys.stderr)
     return True
 
