@@ -19,7 +19,8 @@ COPY bench.py __graft_entry__.py ./
 # jax[tpu] pulls libtpu; cv2/scipy accelerate host-side preprocessing
 RUN pip install --no-cache-dir "jax[tpu]" -f \
         https://storage.googleapis.com/jax-releases/libtpu_releases.html \
-    && pip install --no-cache-dir optax opencv-python-headless scipy aiohttp \
+    && pip install --no-cache-dir optax opencv-python-headless scipy \
+        aiohttp jinja2 \
     && pip install --no-cache-dir -e .
 
 # build the native image-ops library
@@ -34,8 +35,10 @@ RUN if [ -n "$VGG19_WEIGHTS" ]; then \
         cp "$VGG19_WEIGHTS" /root/.cache/artstyletransfer_tpu/vgg19_features.npz; \
     fi
 
-# smoke check (CPU): compile the entry step on tiny shapes
-RUN JAX_PLATFORMS=cpu python -c "import artstyletransfer_tpu"
+# smoke check (CPU): the package and the default entrypoint (the lab,
+# which needs the frontend deps) must import
+RUN JAX_PLATFORMS=cpu python -c \
+    "import artstyletransfer_tpu, artstyletransfer_tpu.frontends.lab"
 
 EXPOSE 8080
 # web lab by default; the bot runs with ASTT_TELEGRAM_TOKEN set:
