@@ -306,7 +306,7 @@ def _conv_relu_fwd_impl(x: jax.Array, w: jax.Array, b: jax.Array,
                 cin=cin_p, cout=cout_p),
         grid=(h // _CONV_TILE_H,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),   # stays in HBM, manual DMA
             pl.BlockSpec((3, 3, cin_p, cout_p), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout_p,), lambda i: (0,), memory_space=pltpu.VMEM),
