@@ -638,3 +638,21 @@ def test_default_serving_mesh_env_gate(monkeypatch):
     monkeypatch.setenv("ASTT_SERVING_MESH", "bogus")
     with pytest.raises(ValueError):
         default_serving_mesh()
+
+
+def test_canonicalize_content_fuzz(rng):
+    """ANY input shape lands exactly on a warmed bucket shape — the
+    no-recompile invariant online serving depends on (fixed-list cases
+    above; this sweeps 200 random shapes incl. extreme aspects)."""
+    from artstyletransfer_tpu.parallel.batch import (DEFAULT_ASPECT_BUCKETS,
+                                                     bucket_content_shape,
+                                                     canonicalize_content)
+
+    cfg = Config(levels_num=2, base_diameter=16)
+    buckets = {bucket_content_shape(a, cfg) + (3,)
+               for a in DEFAULT_ASPECT_BUCKETS}
+    for _ in range(200):
+        h = int(rng.integers(16, 220))
+        w = int(rng.integers(16, 220))
+        out = canonicalize_content(np.zeros((h, w, 3), np.float32), cfg)
+        assert out.shape in buckets, (h, w, out.shape)
