@@ -33,6 +33,7 @@ class FakeQueueRunner:
                  canonicalize_styles=False, canonicalize_contents=False):
         self.calls.append([j[0] for j in jobs])
         self.pad_batches = pad_batches
+        self.mesh = mesh
         if self.delay_s:
             time.sleep(self.delay_s)
         results, failures = {}, {}
@@ -74,6 +75,26 @@ def test_online_coalesces_concurrent_tasks_into_one_round():
             assert pct == 100.0 and img is not None
 
     asyncio.run(check())
+
+
+def test_online_forwards_mesh_to_queue():
+    """The executor's mesh (default_serving_mesh in the frontends) reaches
+    every dispatched round — on a multi-chip host the live path batches
+    across all chips, not one."""
+    from artstyletransfer_tpu.parallel import jobs_mesh
+
+    runner = FakeQueueRunner()
+    mesh = jobs_mesh(2)
+    ex = OnlineBatchingExecutor(Config(iters_num=2), verbose=False,
+                                canonicalize=False, queue_runner=runner,
+                                mesh=mesh, batch_window_s=0.02)
+
+    async def go():
+        await ex.add_task("t0", _pair(0))
+        await ex.run()
+
+    asyncio.run(go())
+    assert runner.mesh is mesh and runner.calls == [["t0"]]
 
 
 def test_online_arrivals_during_run_join_next_round():
