@@ -21,6 +21,40 @@ from ..parallel.batch import (DEFAULT_ASPECT_BUCKETS,  # noqa: F401
                               bucket_content_shape)
 
 
+def online_warmup_plan(cfg: Config, mesh,
+                       batch_policy: str = "auto",
+                       max_batch: int = 8):
+    """(batch_sizes, mesh) covering exactly the executables online-batching
+    rounds dispatch, mirroring run_job_queue's routing rules:
+
+    - a 'batched'-routed config compiles the padded power-of-two ladder
+      {1, 2, ..., max_batch} on the serving mesh (runtime/online.py
+      pad_batches);
+    - a 'sequential'-routed config (full-Wolfe L-BFGS by measured policy)
+      compiles single-job batches, and on a multi-job mesh run_job_queue
+      dispatches those WITHOUT the mesh (parallel/batch.py group_mesh:
+      single-job groups are never padded across a jobs axis) — so the
+      warm executable must drop the mesh too, or the first live user
+      still hits the cold compile warmup exists to prevent.
+    """
+    from ..parallel.batch import planned_round_sizes, resolve_batch_policy
+
+    policy = resolve_batch_policy(cfg, batch_policy)
+    jobs_axis = (mesh.shape["jobs"]
+                 if mesh is not None and "jobs" in mesh.axis_names else 1)
+    if policy != "batched":
+        return (1,), (mesh if jobs_axis == 1 else None)
+    # live round sizes are unknown ahead of time: warm the union of the
+    # sizes every possible round 1..max_batch dispatches (the shape arg
+    # only matters when max_batch is implicit, which it never is here)
+    shape = (cfg.base_diameter, cfg.base_diameter, 3)
+    sizes = sorted({s for n in range(1, max_batch + 1)
+                    for s in planned_round_sizes(
+                        cfg, shape, n, jobs_axis=jobs_axis,
+                        max_batch=max_batch)})
+    return tuple(sizes), mesh
+
+
 def warmup_aspect_buckets(cfg: Config, params=None,
                           aspects: Sequence[float] = DEFAULT_ASPECT_BUCKETS,
                           verbose: bool = True,

@@ -165,22 +165,11 @@ def create_app(config=None, data_dir: str = None, pairs=None,
             await executor.set_progress(tid, (-1, None))
 
         def report(tid, pct, img, loss):
-            from concurrent.futures import TimeoutError as FuturesTimeout
+            from ..runtime.executor import call_in_loop
 
-            try:
-                fut = asyncio.run_coroutine_threadsafe(
-                    executor.set_progress(tid, (pct, img)), loop)
-                # bounded: a loop that is STOPPED but not yet closed
-                # (SIGTERM teardown window) never runs the coroutine, and
-                # an unbounded result() would hang the worker thread at
-                # interpreter exit
-                fut.result(timeout=60)
-            except (RuntimeError, FuturesTimeout):
-                # server shutting down mid-batch: drop the progress update
-                # instead of failing the whole bucket — SIGTERM during a
-                # drive must not record spurious job failures (observed:
-                # "Event loop is closed" marked every in-flight job failed
-                # on a clean Ctrl-C)
+            # shared thread->loop hop: drops the update when the server is
+            # shutting down mid-batch instead of failing the whole bucket
+            if not call_in_loop(loop, executor.set_progress(tid, (pct, img))):
                 return
             if metrics is not None:
                 # the batched queue bypasses Executor.__report, so emit the

@@ -369,28 +369,21 @@ def main(argv=None) -> int:
     else:
         cfg = production_config(Config())
     if args.warmup:
-        from ..engine.warmup import warmup_aspect_buckets
+        from ..engine.warmup import online_warmup_plan, warmup_aspect_buckets
 
         sizes = None
         warm_mesh = None
         if args.online_batching:
             from ..parallel import default_serving_mesh
-            from ..parallel.batch import resolve_batch_policy
-
-            # warm the executables the ONLINE path will dispatch: same
-            # mesh (sharding is part of the executable key)
-            warm_mesh = default_serving_mesh()
 
             # online serving ALWAYS dispatches through BatchedTransferJob
             # (a separate executable from the single-job graph, even at
-            # batch 1): warm EVERY padded size the pad policy can produce
-            # — {1,2,4,8}, the full ladder under the online executor's
-            # max_batch=8 default — or just batch 1 for a
-            # sequential-routed config (full-Wolfe L-BFGS runs jobs one
-            # at a time by measured policy)
-            sizes = ((1, 2, 4, 8)
-                     if resolve_batch_policy(cfg, "auto") == "batched"
-                     else (1,))
+            # batch 1): warm every (size, mesh) combination the online
+            # executor's rounds can dispatch — the plan mirrors
+            # run_job_queue's routing, including the sequential path's
+            # mesh-drop on multi-chip hosts
+            sizes, warm_mesh = online_warmup_plan(
+                cfg, default_serving_mesh())
         warmup_aspect_buckets(cfg, batch_sizes=sizes, mesh=warm_mesh)
     metrics = None
     if args.metrics:

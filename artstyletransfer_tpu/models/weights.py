@@ -8,6 +8,7 @@ weights are resolved, in order, from
   1. an explicit path (``.npz`` native format, torchvision ``.pth``
      state-dict, or Keras ``.h5``),
   2. the ``ASTT_VGG19_WEIGHTS`` environment variable,
+     (either naming a missing file is a loud ``FileNotFoundError``),
   3. a cached native ``.npz`` under ``~/.cache/artstyletransfer_tpu/``,
   4. a deterministic seeded He-normal initialization (documented fallback —
      random VGGs are known to carry usable style/content statistics, and all
@@ -147,11 +148,15 @@ def load_vgg19_params(path: Optional[str] = None, seed: int = 0,
 
     for cand in candidates:
         if not os.path.exists(cand):
-            if path and cand == path:
-                # an explicitly passed path must fail loudly
+            if (path and cand == path) or (env and cand == env):
+                # a path named explicitly — argument or env var — must
+                # fail loudly: falling through could end at RANDOM seeded
+                # weights, and a server silently stylizing with those
+                # (e.g. after a typo'd ASTT_VGG19_WEIGHTS) is far worse
+                # than refusing to start
                 raise FileNotFoundError(f"VGG19 weights not found: {cand}")
-            # a stale env var / cache entry falls through the documented
-            # resolution order instead of aborting it
+            # a stale cache entry falls through the documented resolution
+            # order instead of aborting it
             import sys
 
             print(f"warning: VGG19 weights candidate {cand} does not "

@@ -498,6 +498,40 @@ def resolve_group_cap(cfg: Config, content_shape: tuple, jobs_axis: int,
     return max_jobs_per_batch(cfg, content_shape) * jobs_axis
 
 
+def planned_round_sizes(cfg: Config, content_shape: tuple, n_jobs: int,
+                        jobs_axis: int = 1, policy: str = "auto",
+                        max_batch: Optional[int] = None,
+                        pad_batches: bool = True) -> list:
+    """The compiled batch sizes run_job_queue dispatches for a
+    single-bucket queue of n_jobs same-shape jobs — exactly the sizes a
+    warmup must precompile so no round hits a cold XLA compile mid-serve.
+
+    Mirrors the dispatch path in one place: the policy routing
+    (resolve_batch_policy), the grouping cap (resolve_group_cap), the
+    power-of-two pad rule, and BatchedTransferJob's padding up to a
+    jobs-axis multiple. Harnesses and frontends must use THIS instead of
+    re-deriving the ladder, so a policy change cannot silently
+    desynchronize their warmed sizes from what gets dispatched."""
+    policy = resolve_batch_policy(cfg, policy)
+    cap = resolve_group_cap(cfg, content_shape, jobs_axis, policy, max_batch)
+    sizes = set()
+    remaining = n_jobs
+    while remaining > 0:
+        g = min(remaining, cap)
+        remaining -= g
+        size = g
+        if pad_batches and policy != "sequential":
+            pad_to = min(cap, 1 << (g - 1).bit_length())
+            if pad_to > g:
+                size = pad_to
+        if policy != "sequential" and jobs_axis > 1:
+            # BatchedTransferJob pads a mesh-sharded batch up to a
+            # multiple of the jobs axis
+            size = -(-size // jobs_axis) * jobs_axis
+        sizes.add(size)
+    return sorted(sizes)
+
+
 def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   cfg: Config, params=None, mesh: Optional[Mesh] = None,
                   shard_space: bool = False, progress=None,

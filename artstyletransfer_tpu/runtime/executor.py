@@ -64,16 +64,55 @@ def record_failure(failures: dict, task_id: str, error: BaseException,
 MAX_PROGRESS_ENTRIES = 1024
 
 
-def prune_progress(progress: dict, failures: dict) -> None:
+def prune_progress(progress: dict, failures: dict, live=None) -> None:
     """Evict the oldest terminal progress entries once over the cap (dicts
-    iterate in insertion order). Caller must hold the progress lock."""
+    iterate in insertion order). Caller must hold the progress lock.
+
+    Terminal = done (>= 100), recorded failed, or — when the caller
+    supplies its `live` task-id set — no longer live at all. The liveness
+    rule matters because the failure table has its own retention cap
+    (MAX_RECORDED_FAILURES): a failed task whose failure record has aged
+    out would otherwise hold its last streamed image in the progress
+    table forever."""
     if len(progress) <= MAX_PROGRESS_ENTRIES:
         return
+    # live=None means "caller has no liveness info": evict only entries
+    # that are provably terminal by their own state
+    know_live = live is not None
+    live = set(live) if know_live else set()
     for key in list(progress):
         if len(progress) <= MAX_PROGRESS_ENTRIES:
             break
-        if progress[key][0] >= 100 or key in failures:
+        if key in live:
+            continue
+        if progress[key][0] >= 100 or key in failures or know_live:
             progress.pop(key)
+
+
+def call_in_loop(loop, coro, timeout_s: float = 60.0) -> bool:
+    """Run `coro` on `loop` from a WORKER THREAD and wait, bounded.
+
+    The shared thread→loop progress hop for batched queue callbacks (the
+    online executor and the lab's batched drive report from the
+    run_in_executor worker that owns the chip). Returns False — dropping
+    the update — when the loop is shutting down: a loop that is STOPPED
+    but not yet closed (the SIGTERM teardown window) never runs the
+    coroutine, and an unbounded result() would hang the worker thread at
+    interpreter exit; observed: "Event loop is closed" marked every
+    in-flight job failed on a clean Ctrl-C. Any other failure propagates
+    to the caller."""
+    from concurrent.futures import TimeoutError as FuturesTimeout
+
+    try:
+        fut = asyncio.run_coroutine_threadsafe(coro, loop)
+    except RuntimeError:
+        coro.close()  # never scheduled: suppress the un-awaited warning
+        return False
+    try:
+        fut.result(timeout=timeout_s)
+    except (RuntimeError, FuturesTimeout):
+        return False
+    return True
 
 
 def _get_semaphore() -> asyncio.Semaphore:
@@ -193,7 +232,13 @@ class Executor:
         async with self.__progress_lock:
             self.__progress[key] = (
                 value[0], value[1].copy() if value[1] is not None else None)
-            prune_progress(self.__progress, self.failures)
+            # live = tasks still registered, plus the entry being written
+            # (add_task seeds progress BEFORE registering the Task). Plain
+            # dict-keys read without the tasks lock: safe in asyncio (no
+            # await between read and use) and only an eviction heuristic.
+            live = set(self.__tasks)
+            live.add(key)
+            prune_progress(self.__progress, self.failures, live)
 
     async def __print_progress(self):
         if not self.__verbose:

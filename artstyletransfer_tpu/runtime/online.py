@@ -28,13 +28,12 @@ Scheduling semantics:
 from __future__ import annotations
 
 import asyncio
-from concurrent.futures import TimeoutError as FuturesTimeout
 from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .executor import prune_progress, record_failure
+from .executor import call_in_loop, prune_progress, record_failure
 
 
 class OnlineBatchingExecutor:
@@ -83,6 +82,7 @@ class OnlineBatchingExecutor:
         self.__wake: Optional[asyncio.Event] = None
         self.__dispatcher: Optional[asyncio.Task] = None
         self.__busy = False
+        self.__round_ids: frozenset = frozenset()  # tasks in flight
         self.failures: Dict[str, BaseException] = {}
         self.dispatch_rounds = 0  # observability: rounds actually run
 
@@ -107,7 +107,14 @@ class OnlineBatchingExecutor:
         async with self.__progress_lock:
             self.__progress[key] = (
                 value[0], value[1].copy() if value[1] is not None else None)
-            prune_progress(self.__progress, self.failures)
+            # live = queued + in-flight tasks, plus the entry being
+            # written (add_task seeds progress before queuing). Plain
+            # reads without the pending lock: safe in asyncio (no await
+            # between read and use) and only an eviction heuristic.
+            live = {tid for tid, _c, _s in self.__pending}
+            live.update(self.__round_ids)
+            live.add(key)
+            prune_progress(self.__progress, self.failures, live)
 
     # -- task intake -------------------------------------------------------
 
@@ -172,6 +179,7 @@ class OnlineBatchingExecutor:
             if not jobs:
                 continue
             self.__busy = True
+            self.__round_ids = frozenset(tid for tid, _c, _s in jobs)
             try:
                 await self._run_round(jobs)
             except Exception as e:  # noqa: BLE001 — keep serving
@@ -179,6 +187,7 @@ class OnlineBatchingExecutor:
                     await self._record_failure(tid, e)
             finally:
                 self.__busy = False
+                self.__round_ids = frozenset()
 
     async def _run_round(self, jobs):
         from ..parallel.batch import run_job_queue
@@ -191,19 +200,10 @@ class OnlineBatchingExecutor:
 
         def progress_cb(tid, pct, img, loss):
             # called from the worker thread: hop back into the loop
+            # (call_in_loop drops the update when the server is shutting
+            # down mid-round instead of failing every in-flight job)
             try:
-                fut = asyncio.run_coroutine_threadsafe(
-                    self._report(tid, pct, img, loss), loop)
-                # the bounded wait covers the stopped-but-not-yet-closed
-                # teardown window, where the coroutine would never run and
-                # an unbounded result() would hang this worker thread
-                fut.result(timeout=60)
-            except (RuntimeError, FuturesTimeout):
-                # loop closed (or stopping): the server is shutting down
-                # mid-round. Drop the update instead of failing every
-                # in-flight job (same shutdown semantics as the lab's
-                # batched report callback).
-                return
+                call_in_loop(loop, self._report(tid, pct, img, loss))
             except Exception:  # noqa: BLE001
                 # a frontend's report hook failing (e.g. one user's
                 # Telegram send hitting a network blip) must not fail the

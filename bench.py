@@ -143,10 +143,26 @@ def load_images():
             rng.random((1024, 1024, 3)).astype(np.float32))
 
 
+def align_steps(n_steps: int, chunk: int) -> int:
+    """Round the timed step count UP to a chunk multiple.
+
+    The timed window closes on a `done == total_timed` chunk boundary
+    (the scalar-loss sync); a step count the chunk size does not divide
+    would never hit that boundary — the single-job path would silently
+    report an unsynced number and the batched path would crash on a None
+    steps_per_sec before printing the mandatory JSON line."""
+    aligned = max(chunk, ((n_steps + chunk - 1) // chunk) * chunk)
+    if aligned != n_steps:
+        log(f"bench: n_steps {n_steps} -> {aligned} "
+            f"(aligned up to chunk size {chunk})")
+    return aligned
+
+
 def measure_ours(content, style, cfg, n_steps=100, chunk=50) -> float:
     from artstyletransfer_tpu.engine.transfer import TransferJob
     from artstyletransfer_tpu.utils.metrics import Throughput
 
+    n_steps = align_steps(n_steps, chunk)
     t0 = time.time()
     job = TransferJob(content, style, cfg)
     log(f"bench: job setup {time.time() - t0:.1f}s; "
@@ -190,6 +206,7 @@ def measure_ours_batched(content, style, cfg, batch, n_steps=200,
     from artstyletransfer_tpu.parallel import BatchedTransferJob
     from artstyletransfer_tpu.utils.metrics import Throughput
 
+    n_steps = align_steps(n_steps, chunk)
     t0 = time.time()
     job = BatchedTransferJob([content] * batch, [style] * batch, cfg)
     log(f"bench: batched job setup {time.time() - t0:.1f}s "

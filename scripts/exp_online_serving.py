@@ -108,17 +108,14 @@ def main():
                     stream_every=args.stream_every, yield_images=False):
         pass
     # warm the EXACT padded batch sizes the online executor will dispatch
-    # (pad_batches rounds each round up the power-of-two ladder, capped at
-    # its max_batch=8 default; groups beyond the cap split into size-8
-    # rounds) — warming args.jobs verbatim would leave e.g. --jobs 6
-    # hitting a cold batch-8 compile INSIDE the timed online region
-    sizes = set()
-    remaining = args.jobs
-    while remaining > 0:
-        g = min(remaining, 8)
-        sizes.add(min(8, 1 << (g - 1).bit_length()))
-        remaining -= g
-    for size in sorted(sizes):
+    # (planned_round_sizes mirrors run_job_queue's grouping + pad policy;
+    # max_batch=8 is OnlineBatchingExecutor's default) — warming args.jobs
+    # verbatim would leave e.g. --jobs 6 hitting a cold batch-8 compile
+    # INSIDE the timed online region
+    from artstyletransfer_tpu.parallel.batch import planned_round_sizes
+    sizes = planned_round_sizes(cfg, pairs[0].content[1].shape, args.jobs,
+                                max_batch=8)
+    for size in sizes:
         print(f"[warmup] batch-{size} graph ...", file=sys.stderr)
         wb = BatchedTransferJob([pairs[0].content[1]] * size,
                                 [pairs[0].style[1]] * size, cfg,

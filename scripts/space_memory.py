@@ -31,9 +31,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     # the mesh args pre-argparse
     _n = 1
     for _name in ("--jobs", "--space"):
+        # accept both argparse spellings: "--jobs 4" and "--jobs=4"
+        _val = None
+        for _i, _arg in enumerate(sys.argv):
+            if _arg == _name and _i + 1 < len(sys.argv):
+                _val = sys.argv[_i + 1]
+            elif _arg.startswith(_name + "="):
+                _val = _arg.split("=", 1)[1]
         try:
-            _n *= max(1, int(sys.argv[sys.argv.index(_name) + 1]))
-        except (ValueError, IndexError):
+            _n *= max(1, int(_val))
+        except (TypeError, ValueError):
             _n *= 8 if _name == "--space" else 1  # the argparse defaults
     os.environ["XLA_FLAGS"] = (
         _flags + f" --xla_force_host_platform_device_count={max(_n, 8)}"

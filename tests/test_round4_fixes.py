@@ -255,3 +255,160 @@ def test_resolve_group_cap_respects_jobs_axis():
     # default path: HBM-aware per-device cap x jobs axis
     assert resolve_group_cap(cfg, shape, 2, "batched", None) == \
         2 * resolve_group_cap(cfg, shape, 1, "batched", None)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 self-review fixes
+# ---------------------------------------------------------------------------
+
+def test_bench_align_steps_closes_timed_window():
+    """The timed window closes on a `done == total_timed` chunk boundary;
+    a step count the chunk does not divide must be aligned UP, not left
+    to silently never sync (single-job) or crash on a None rate (batched)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import bench
+
+    assert bench.align_steps(120, 50) == 150
+    assert bench.align_steps(100, 50) == 100
+    assert bench.align_steps(10, 50) == 50
+    assert bench.align_steps(101, 100) == 200
+    assert bench.align_steps(1, 1) == 1
+
+
+def test_planned_round_sizes_mirrors_dispatch():
+    from artstyletransfer_tpu.parallel.batch import planned_round_sizes
+
+    cfg = Config(optimizer="adam", levels_num=1, base_diameter=16)
+    shape = (16, 24, 3)
+    # 6 jobs pad up the power-of-two ladder to one batch-8 round
+    assert planned_round_sizes(cfg, shape, 6, max_batch=8) == [8]
+    # 9 jobs split into a full batch-8 round plus a batch-1 remainder
+    assert planned_round_sizes(cfg, shape, 9, max_batch=8) == [1, 8]
+    assert planned_round_sizes(cfg, shape, 8, max_batch=8) == [8]
+    assert planned_round_sizes(cfg, shape, 3, max_batch=8) == [4]
+    # exact batches without padding
+    assert planned_round_sizes(cfg, shape, 6, max_batch=8,
+                               pad_batches=False) == [6]
+    # a jobs axis pads every batched size to a multiple of the axis
+    assert planned_round_sizes(cfg, shape, 1, jobs_axis=4,
+                               max_batch=8) == [4]
+    # sequential routing (full-Wolfe L-BFGS) always dispatches batch 1
+    seq = Config(optimizer="lbfgs", levels_num=1, base_diameter=16)
+    assert planned_round_sizes(seq, shape, 6, jobs_axis=4,
+                               max_batch=8) == [1]
+
+
+def test_online_warmup_plan_matches_queue_routing():
+    """--warmup must compile the same (size, mesh) executables
+    run_job_queue dispatches — including the sequential path's mesh-drop
+    on a multi-job mesh (parallel/batch.py group_mesh)."""
+    from artstyletransfer_tpu.engine.warmup import online_warmup_plan
+    from artstyletransfer_tpu.parallel.mesh import jobs_space_mesh
+
+    adam = Config(optimizer="adam", levels_num=1, base_diameter=16)
+    wolfe = Config(optimizer="lbfgs", levels_num=1, base_diameter=16)
+
+    mesh = jobs_space_mesh(4, 2)
+    sizes, warm_mesh = online_warmup_plan(adam, mesh)
+    assert warm_mesh is mesh
+    assert sizes == (4, 8)  # every size padded to the 4-way jobs axis
+    sizes, warm_mesh = online_warmup_plan(adam, None)
+    assert warm_mesh is None
+    assert sizes == (1, 2, 4, 8)
+    # sequential-routed configs dispatch single-job batches WITHOUT the
+    # mesh when it has a multi-job axis: warming with the mesh would
+    # compile an executable the live path never uses
+    sizes, warm_mesh = online_warmup_plan(wolfe, mesh)
+    assert (sizes, warm_mesh) == ((1,), None)
+    space_only = jobs_space_mesh(1, 8)
+    sizes, warm_mesh = online_warmup_plan(wolfe, space_only)
+    assert (sizes, warm_mesh) == ((1,), space_only)
+
+
+def test_prune_progress_evicts_aged_out_failures():
+    """A failed task whose failure record aged out of the failure cap
+    must still be evictable from the progress table (it is no longer
+    live), or a forever-serving bot leaks one image per failed task."""
+    import unittest.mock as mock
+
+    progress = {}
+    for i in range(6):
+        # failed mid-run: percent < 100, failure record already aged out
+        progress[f"dead{i}"] = (40.0, None)
+    progress["running"] = (50.0, None)
+    progress["queued"] = (-1, None)
+
+    with mock.patch.object(executor_mod, "MAX_PROGRESS_ENTRIES", 3):
+        # without liveness info the dead entries are indistinguishable
+        # from running tasks: nothing is evicted
+        snapshot = dict(progress)
+        executor_mod.prune_progress(progress, {})
+        assert progress == snapshot
+        # with the caller's live set they age out oldest-first
+        executor_mod.prune_progress(progress, {},
+                                    live={"running", "queued"})
+    assert "running" in progress and "queued" in progress
+    assert len(progress) == 3
+
+
+def test_online_executor_prunes_dead_progress():
+    """End-to-end: the online executor's progress table stays bounded
+    even when every failure record has aged out of the failure cap."""
+    from artstyletransfer_tpu.runtime.online import OnlineBatchingExecutor
+
+    async def go():
+        ex = OnlineBatchingExecutor(Config(iters_num=1), verbose=False)
+        # simulate many finished-and-forgotten tasks: entries land in the
+        # progress table, nothing is pending or in flight
+        import unittest.mock as mock
+
+        with mock.patch.object(executor_mod, "MAX_PROGRESS_ENTRIES", 4):
+            for i in range(8):
+                await ex.set_progress(f"t{i}", (40.0, None))
+        return await ex.task_ids()
+
+    ids = asyncio.run(go())
+    # the latest write is live by definition; older dead entries evicted
+    assert len(ids) <= 5
+
+
+def test_env_weights_path_fails_loudly(monkeypatch, tmp_path):
+    """A typo'd ASTT_VGG19_WEIGHTS must abort, not silently fall through
+    to random seeded weights (a server stylizing with those is far worse
+    than refusing to start)."""
+    from artstyletransfer_tpu.models import weights as weights_mod
+
+    monkeypatch.setenv("ASTT_VGG19_WEIGHTS",
+                       str(tmp_path / "no_such_weights.npz"))
+    with pytest.raises(FileNotFoundError):
+        weights_mod.load_vgg19_params(cache=False)
+
+
+def test_call_in_loop_shutdown_semantics():
+    """The shared thread->loop hop drops updates once the loop is gone
+    (and suppresses the never-awaited warning) instead of raising."""
+    import threading
+
+    from artstyletransfer_tpu.runtime.executor import call_in_loop
+
+    ran = []
+
+    async def update():
+        ran.append(True)
+
+    # live loop in another thread: the update goes through
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    try:
+        assert call_in_loop(loop, update(), timeout_s=10) is True
+        assert ran == [True]
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=10)
+        loop.close()
+    # closed loop: dropped, not raised
+    assert call_in_loop(loop, update(), timeout_s=10) is False
+    assert ran == [True]
