@@ -119,10 +119,20 @@ BENCH_CONFIGS = {
     # to bf16 on TPU via config.production_config)
     "batch8x2level512bf16": dict(levels_num=2, base_diameter=256, _batch=8,
                                  compute_dtype="bfloat16"),
+    # CPU-runnable smoke configs: NOT benchmarks — they exist so the
+    # bench harness itself (timed-window protocol, JSON-line contract,
+    # baseline cache, batched path) is testable end-to-end in seconds
+    # (tests/test_bench.py)
+    "smoke16": dict(levels_num=1, base_diameter=16),
+    "smokebatch16": dict(levels_num=1, base_diameter=16, _batch=2),
 }
 
-CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "BENCH_BASELINE_CACHE.json")
+# the torch-CPU baseline cache; tests point this elsewhere so harness
+# runs cannot pollute the committed cache
+CACHE_FILE = os.environ.get(
+    "ASTT_BENCH_BASELINE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_BASELINE_CACHE.json"))
 
 CONTENT_PATH = "/root/reference/data/content-images/bird.jpg"
 STYLE_PATH = "/root/reference/data/style-images/cubism2.jpg"
