@@ -68,9 +68,13 @@ def create_app(config=None, data_dir: str = None, pairs=None,
                online: bool = False,
                executor=None,
                results_dir: str = None,
-               metrics_path: str = None) -> web.Application:
+               metrics_path: str = None,
+               queue_retries: int = 0) -> web.Application:
     """Build the lab application. `engine`/`pairs`/`executor` are
     injectable for tests.
+
+    queue_retries re-runs a failed batched/online group (transient
+    TPU-worker crashes recover in ~20s; see run_job_queue).
 
     batched=True replaces the reference's 2-at-a-time semaphore scheduling
     with the TPU-native path: the whole demo queue runs through
@@ -109,7 +113,8 @@ def create_app(config=None, data_dir: str = None, pairs=None,
 
             executor = OnlineBatchingExecutor(config, verbose=False,
                                               metrics=metrics,
-                                              mesh=default_serving_mesh())
+                                              mesh=default_serving_mesh(),
+                                              retries=queue_retries)
         else:
             executor = Executor(config, engine=engine, verbose=False,
                                 metrics=metrics)
@@ -179,7 +184,8 @@ def create_app(config=None, data_dir: str = None, pairs=None,
         _results, failures = await loop.run_in_executor(
             None, lambda: run_job_queue(jobs, config, progress=report,
                                         mesh=default_serving_mesh(),
-                                        canonicalize_styles=True))
+                                        canonicalize_styles=True,
+                                        retries=queue_retries))
         from ..runtime.executor import record_failure
 
         # surface failed jobs: record the exception and mark the card so
@@ -337,6 +343,10 @@ def main(argv=None) -> int:
     parser.add_argument("--metrics", default=None, metavar="PATH",
                         help="append structured per-progress JSONL metrics "
                              "to PATH")
+    parser.add_argument("--retries", type=int, default=0, metavar="N",
+                        help="re-run a failed batched/online group up to N "
+                             "extra times (transient TPU-worker crashes "
+                             "recover in ~20s)")
     args = parser.parse_args(argv)
     cfg = PRESETS[args.preset]
     if args.compute_dtype is not None:
@@ -347,7 +357,8 @@ def main(argv=None) -> int:
              if args.max_pairs else None)
     app = create_app(config=cfg, data_dir=args.data_dir, pairs=pairs,
                      autostart=not args.no_autostart, batched=args.batched,
-                     online=args.online, metrics_path=args.metrics)
+                     online=args.online, metrics_path=args.metrics,
+                     queue_retries=args.retries)
     web.run_app(app, host=args.host, port=args.port)
     return 0
 

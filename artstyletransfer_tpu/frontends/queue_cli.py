@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="steps between checkpoints (default: stream_every)")
     p.add_argument("--resume", action="store_true",
                    help="resume the same queue from --checkpoint-dir")
+    p.add_argument("--retries", type=int, default=0, metavar="N",
+                   help="re-run a failed group up to N extra times "
+                        "(transient TPU-worker crashes recover in ~20s; "
+                        "with --checkpoint-dir a retry resumes from the "
+                        "last saved chunk)")
     p.add_argument("--metrics", default=None, metavar="PATH",
                    help="append per-chunk JSONL metrics to PATH")
     p.add_argument("--quiet", action="store_true")
@@ -189,7 +194,7 @@ def main(argv=None) -> int:
             stream_images=False,  # final images only — no per-chunk D2H
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
-            resume=args.resume)
+            resume=args.resume, retries=args.retries)
         failures = {**load_failures, **failures}
 
         for tid, img in results.items():

@@ -121,7 +121,8 @@ class StyleTransferBot:
 
     def __init__(self, client, config: Optional[Config] = None, engine=None,
                  canonicalize: bool = False, metrics=None,
-                 online: bool = False, executor=None):
+                 online: bool = False, executor=None,
+                 queue_retries: int = 0):
         self.client = client
         self.config = config or Config()
         # canonicalize=True crops/resizes incoming photos to the canonical
@@ -147,7 +148,7 @@ class StyleTransferBot:
                 self.config, report_progress=self.task_progress_callback,
                 report_failure=self.task_failed_callback,
                 verbose=False, metrics=metrics,
-                mesh=default_serving_mesh())
+                mesh=default_serving_mesh(), retries=queue_retries)
         else:
             self.executor = Executor(
                 self.config, report_progress=self.task_progress_callback,
@@ -356,6 +357,10 @@ def main(argv=None) -> int:
     parser.add_argument("--metrics", default=None, metavar="PATH",
                         help="append structured per-progress JSONL metrics "
                              "to PATH")
+    parser.add_argument("--retries", type=int, default=0, metavar="N",
+                        help="re-run a failed online round up to N extra "
+                             "times (transient TPU-worker crashes recover "
+                             "in ~20s); only with --online-batching")
     args = parser.parse_args(argv)
     if not args.token:
         print("Set ASTT_TELEGRAM_TOKEN or pass --token "
@@ -394,7 +399,8 @@ def main(argv=None) -> int:
         bot = StyleTransferBot(TelegramClient(args.token), cfg,
                                canonicalize=args.canonicalize or args.warmup,
                                metrics=metrics,
-                               online=args.online_batching)
+                               online=args.online_batching,
+                               queue_retries=args.retries)
         asyncio.run(bot.run_polling())
     finally:
         if metrics is not None:

@@ -543,7 +543,9 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                   stream_images: bool = True,
                   checkpoint_dir: Optional[str] = None,
                   checkpoint_every: Optional[int] = None,
-                  resume: bool = False
+                  resume: bool = False,
+                  retries: int = 0,
+                  retry_delay_s: float = 25.0
                   ) -> Tuple[Dict[str, np.ndarray], Dict[str, Exception]]:
     """Run an arbitrary job queue: bucket by shape, batch each bucket across
     the mesh, stream progress.
@@ -602,6 +604,15 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     bounds the compile set to {1, 2, 4, ...} — warmable ahead of time —
     at the cost of up to ~2x padded compute on odd-sized rounds. Offline
     queues know their sizes upfront and default to exact batches.
+
+    retries re-runs a FAILED group up to that many extra times after
+    retry_delay_s (default sized to the observed TPU-worker crash
+    recovery, ~20s): transient device-runtime failures (a crashed or
+    restarted worker, a dropped tunnel dispatch) otherwise fail every
+    job in the group. With checkpointing enabled a retry resumes from
+    the group's last saved chunk instead of restarting at step 0.
+    Deterministic failures (e.g. a genuine OOM) simply fail again, so
+    the default stays 0; long product drives opt in.
     """
     if checkpoint_dir is not None and checkpoint_every is None:
         checkpoint_every = cfg.stream_every  # same default as the CLI path
@@ -647,40 +658,59 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                 pad_to = min(cap, 1 << (len(group) - 1).bit_length())
                 if pad_to <= len(group):
                     pad_to = None
-            try:
-                batch = BatchedTransferJob(
-                    [j[1] for j in group], [j[2] for j in group], cfg,
-                    params=params, mesh=group_mesh,
-                    shard_space=shard_space and group_mesh is not None,
-                    pad_batch_to=pad_to)
-                imgs = None
-                for done, imgs, losses in batch.run(
-                        yield_images=stream_images,
-                        checkpoint_path=ckpt_path,
-                        checkpoint_every=checkpoint_every,
-                        resume=resume):
-                    if progress is not None:
-                        pct = done / cfg.iters_num * 100.0
-                        # one D2H fetch for the whole batch: on the
-                        # stream_images=False path losses is a lazy device
-                        # array, and per-job float(losses[i]) would issue B
-                        # separate dispatch+fetch round trips per chunk
-                        losses = np.asarray(losses)
-                        for i, tid in enumerate(ids):
-                            progress(tid, pct,
-                                     imgs[i] if imgs is not None else None,
-                                     float(losses[i]))
-                if imgs is None:
-                    raise RuntimeError(
-                        f"batch of {len(ids)} job(s) yielded no chunks "
-                        f"(iters_num={cfg.iters_num})")
-                for i, tid in enumerate(ids):
-                    results[tid] = imgs[i]
-            except Exception as e:  # noqa: BLE001 — bucket isolation
-                # one bad group (e.g. OOM at an extreme shape) must not
-                # kill the rest of the queue
+            last_exc: Optional[Exception] = None
+            for attempt in range(retries + 1):
+                if attempt:
+                    import sys
+                    import time
+
+                    print(f"run_job_queue: group of {len(ids)} job(s) "
+                          f"failed ({type(last_exc).__name__}: {last_exc});"
+                          f" retry {attempt}/{retries} in "
+                          f"{retry_delay_s:.0f}s", file=sys.stderr)
+                    time.sleep(retry_delay_s)
+                try:
+                    batch = BatchedTransferJob(
+                        [j[1] for j in group], [j[2] for j in group], cfg,
+                        params=params, mesh=group_mesh,
+                        shard_space=shard_space and group_mesh is not None,
+                        pad_batch_to=pad_to)
+                    imgs = None
+                    for done, imgs, losses in batch.run(
+                            yield_images=stream_images,
+                            checkpoint_path=ckpt_path,
+                            checkpoint_every=checkpoint_every,
+                            # a retry resumes from the last saved chunk
+                            # (no-op without a checkpoint path)
+                            resume=resume or attempt > 0):
+                        if progress is not None:
+                            pct = done / cfg.iters_num * 100.0
+                            # one D2H fetch for the whole batch: on the
+                            # stream_images=False path losses is a lazy
+                            # device array, and per-job float(losses[i])
+                            # would issue B separate dispatch+fetch round
+                            # trips per chunk
+                            losses = np.asarray(losses)
+                            for i, tid in enumerate(ids):
+                                progress(tid, pct,
+                                         imgs[i] if imgs is not None
+                                         else None,
+                                         float(losses[i]))
+                    if imgs is None:
+                        raise RuntimeError(
+                            f"batch of {len(ids)} job(s) yielded no chunks "
+                            f"(iters_num={cfg.iters_num})")
+                    for i, tid in enumerate(ids):
+                        results[tid] = imgs[i]
+                    last_exc = None
+                    break
+                except Exception as e:  # noqa: BLE001 — bucket isolation
+                    # one bad group (e.g. OOM at an extreme shape) must
+                    # not kill the rest of the queue
+                    last_exc = e
+            if last_exc is not None:
                 for tid in ids:
-                    failures[tid] = e
+                    failures[tid] = last_exc
     if failures:
         import sys
 

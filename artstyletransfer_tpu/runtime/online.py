@@ -49,6 +49,7 @@ class OnlineBatchingExecutor:
                  canonicalize: bool = True,
                  batch_policy: str = "auto",
                  pad_batches: bool = True,
+                 retries: int = 0,
                  queue_runner: Optional[Callable] = None):
         # `engine` is accepted for signature parity with Executor but the
         # unit of execution here is the batched queue; tests inject
@@ -74,6 +75,9 @@ class OnlineBatchingExecutor:
         # sizes so --warmup can cover every executable a coalescing window
         # can produce (a novel size = a minutes-long cold compile mid-serve)
         self.pad_batches = pad_batches
+        # re-run a failed round's jobs (transient TPU-worker crashes
+        # recover in ~20s; see run_job_queue retries)
+        self.retries = retries
         self.queue_runner = queue_runner  # injectable (tests)
         self.__progress: Dict[str, tuple] = {}
         self.__progress_lock = asyncio.Lock()
@@ -218,7 +222,7 @@ class OnlineBatchingExecutor:
                 runner, jobs, self.__config, params=self.params,
                 mesh=self.mesh, progress=progress_cb,
                 batch_policy=self.batch_policy, max_batch=self.max_batch,
-                pad_batches=self.pad_batches,
+                pad_batches=self.pad_batches, retries=self.retries,
                 # shapes were canonicalized at add_task; re-canonicalizing
                 # inside the queue would be a no-op either way
                 canonicalize_styles=False, canonicalize_contents=False))

@@ -43,8 +43,10 @@ run_step online_serving 3600 python scripts/exp_online_serving.py --jobs 4 --ite
 # 3. Wall-clock to converged image at 512 (VERDICT #2).
 run_step time_to_target 5400 python scripts/time_to_target.py --size 512 --out "$OUT/ttt512.json"
 
-# 4. Full 20-pair lab demo product drive (VERDICT #7).
-run_step lab_demo 9000 python scripts/drive_lab_demo.py --metrics "$OUT/lab_metrics.jsonl"
+# 4. Full 20-pair lab demo product drive (VERDICT #7). --retries 1
+#    (passed through to astt-lab) re-runs a bucket once if a transient
+#    TPU-worker crash kills it mid-drive (they recover in ~20s).
+run_step lab_demo 9000 python scripts/drive_lab_demo.py --metrics "$OUT/lab_metrics.jsonl" -- --retries 1
 
 # 5. Optional re-rows under the r4 protocol.
 run_step bench_lbfgs1024 2700 env ASTT_BENCH_CONFIG=lbfgs3level1024bf16 python bench.py

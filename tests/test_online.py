@@ -30,6 +30,7 @@ class FakeQueueRunner:
 
     def __call__(self, jobs, cfg, params=None, mesh=None, progress=None,
                  batch_policy="auto", max_batch=None, pad_batches=False,
+                 retries=0,
                  canonicalize_styles=False, canonicalize_contents=False):
         self.calls.append([j[0] for j in jobs])
         self.pad_batches = pad_batches

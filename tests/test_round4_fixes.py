@@ -412,3 +412,98 @@ def test_call_in_loop_shutdown_semantics():
     # closed loop: dropped, not raised
     assert call_in_loop(loop, update(), timeout_s=10) is False
     assert ran == [True]
+
+
+# ---------------------------------------------------------------------------
+# Transient-failure retry in run_job_queue
+# ---------------------------------------------------------------------------
+
+def _tiny_queue_cfg():
+    return Config(levels_num=1, base_diameter=16, iters_num=2,
+                  stream_every=2, init_method="content+noise")
+
+
+def _one_job(rng):
+    content = rng.random((16, 24, 3)).astype(np.float32)
+    style = rng.random((16, 16, 3)).astype(np.float32)
+    return [("a", content, style)]
+
+
+def test_run_job_queue_retries_transient_failure(monkeypatch, rng):
+    """A group that fails once (e.g. a crashed TPU worker) succeeds on the
+    retry instead of failing every job in it."""
+    from artstyletransfer_tpu.parallel import batch as batch_mod
+
+    calls = {"fail": 0}
+    real = batch_mod.BatchedTransferJob
+
+    class Flaky(real):
+        def run(self, *a, **kw):
+            if calls["fail"] == 0:
+                calls["fail"] += 1
+                raise RuntimeError("TPU worker crashed or restarted")
+            return real.run(self, *a, **kw)
+
+    monkeypatch.setattr(batch_mod, "BatchedTransferJob", Flaky)
+    results, failures = batch_mod.run_job_queue(
+        _one_job(rng), _tiny_queue_cfg(), retries=1, retry_delay_s=0.0)
+    assert not failures
+    assert "a" in results
+    assert calls["fail"] == 1
+
+
+def test_run_job_queue_retry_exhausted(monkeypatch, rng):
+    """A deterministic failure still fails after the retry budget, with
+    the last exception recorded for every job in the group."""
+    from artstyletransfer_tpu.parallel import batch as batch_mod
+
+    calls = {"n": 0}
+    real = batch_mod.BatchedTransferJob
+
+    class AlwaysFails(real):
+        def run(self, *a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("genuine OOM")
+
+    monkeypatch.setattr(batch_mod, "BatchedTransferJob", AlwaysFails)
+    results, failures = batch_mod.run_job_queue(
+        _one_job(rng), _tiny_queue_cfg(), retries=1, retry_delay_s=0.0)
+    assert not results
+    assert calls["n"] == 2  # first attempt + one retry
+    assert isinstance(failures["a"], RuntimeError)
+
+
+def test_run_job_queue_retry_resumes_from_checkpoint(monkeypatch, rng,
+                                                     tmp_path):
+    """A mid-run crash with checkpointing enabled retries FROM the last
+    saved chunk (resume is forced on retry attempts), not from step 0."""
+    from artstyletransfer_tpu.parallel import batch as batch_mod
+
+    calls = {"crash": 0}
+    seen_dones = []
+    real = batch_mod.BatchedTransferJob
+
+    class CrashesMidRun(real):
+        def run(self, *a, **kw):
+            gen = real.run(self, *a, **kw)
+            if calls["crash"] == 0:
+                calls["crash"] += 1
+                first = next(gen)
+                seen_dones.append(first[0])
+                yield first
+                raise RuntimeError("worker crashed mid-run")
+            for item in gen:
+                seen_dones.append(item[0])
+                yield item
+
+    monkeypatch.setattr(batch_mod, "BatchedTransferJob", CrashesMidRun)
+    cfg = Config(levels_num=1, base_diameter=16, iters_num=4,
+                 stream_every=2, init_method="content+noise")
+    results, failures = batch_mod.run_job_queue(
+        _one_job(rng), cfg, retries=1, retry_delay_s=0.0,
+        checkpoint_dir=str(tmp_path), checkpoint_every=2)
+    assert not failures
+    assert "a" in results
+    # crash after the first chunk (step 2); the retry resumed at the
+    # checkpoint instead of restarting: no second step-2 chunk
+    assert seen_dones == [2, 4]
