@@ -22,6 +22,10 @@ log() { echo "[runbook $(date -u +%H:%M:%S)] $*" | tee -a "$OUT/runbook.log"; }
 run_step() {
   local name=$1 tmo=$2; shift 2
   log "START $name: $*"
+  if [ -n "${RUNBOOK_DRY:-}" ]; then
+    log "DRY   $name (skipped: RUNBOOK_DRY set)"
+    return 0
+  fi
   local t0=$SECONDS
   if timeout "$tmo" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"; then
     log "DONE  $name in $((SECONDS - t0))s"
