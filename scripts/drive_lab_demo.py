@@ -45,6 +45,58 @@ def read_metrics(path):
     return pct, events, lines
 
 
+def steady_state_throughput(path, iters):
+    """Compile-excluded job-steps/s from the metrics timestamps.
+
+    Each task's progress events span [first_t, last_t] covering
+    (last_pct - first_pct) of its iterations; XLA compiles sit in the
+    gaps BETWEEN those spans (no progress is emitted while a bucket
+    compiles). Union-merging the spans and dividing the steps they cover
+    by the merged wall time yields the drive's steady-state throughput —
+    the companion to the end-to-end figure, which the ~5 bucket compiles
+    (~8 min each through the remote tunnel) otherwise dominate.
+    Returns (job_steps_per_s, active_s, steps_covered) or None if fewer
+    than two events exist for every task."""
+    spans, covered = [], 0.0
+    per_task = {}
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("event") != "progress" or "t" not in rec:
+                continue
+            entry = per_task.setdefault(
+                rec["task"], [rec["t"], rec["t"],
+                              float(rec["percent"]), float(rec["percent"])])
+            entry[0] = min(entry[0], rec["t"])
+            entry[1] = max(entry[1], rec["t"])
+            entry[2] = min(entry[2], float(rec["percent"]))
+            entry[3] = max(entry[3], float(rec["percent"]))
+    for t0, t1, p0, p1 in per_task.values():
+        if t1 > t0 and p1 > p0:
+            spans.append((t0, t1))
+            covered += (p1 - p0) / 100.0 * iters
+    if not spans:
+        return None
+    spans.sort()
+    active = 0.0
+    cur0, cur1 = spans[0]
+    for t0, t1 in spans[1:]:
+        if t0 > cur1:
+            active += cur1 - cur0
+            cur0, cur1 = t0, t1
+        else:
+            cur1 = max(cur1, t1)
+    active += cur1 - cur0
+    if active <= 0:
+        return None
+    return covered / active, active, covered
+
+
 def count_failed_cards(base):
     """Failed cards on the index page (terminal: they will never reach
     100% in the metrics stream)."""
@@ -162,6 +214,12 @@ def _drive(args, proc, base, t0):
         "failed_markers_on_index": failed,
         "sample_image_bytes": image_bytes,
     }
+    steady = steady_state_throughput(args.metrics, args.iters)
+    if steady is not None:
+        sps, active_s, covered = steady
+        out["job_steps_per_s_steady"] = round(sps, 2)
+        out["steady_active_s"] = round(active_s, 1)
+        out["steady_steps_covered"] = round(covered)
     print(json.dumps(out))
     return 0
 

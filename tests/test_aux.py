@@ -176,3 +176,41 @@ def test_perceptual_psnr_ssim():
         ssim(img, img[:16])
     with pytest.raises(ValueError):
         ssim(img[:8, :8], img[:8, :8])  # smaller than the window
+
+
+def test_drive_lab_demo_steady_state_throughput(tmp_path):
+    """The compile-excluded drive metric: union-merged progress spans,
+    steps weighted by the percent range each span covers."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "scripts"))
+    from drive_lab_demo import steady_state_throughput
+
+    path = tmp_path / "m.jsonl"
+    rows = [
+        # bucket 1: two tasks running together, 10s span, 50% covered each
+        {"t": 100.0, "event": "progress", "task": "a", "percent": 50.0},
+        {"t": 110.0, "event": "progress", "task": "a", "percent": 100.0},
+        {"t": 101.0, "event": "progress", "task": "b", "percent": 50.0},
+        {"t": 110.0, "event": "progress", "task": "b", "percent": 100.0},
+        # compile gap 110 -> 200 (no events) must be EXCLUDED
+        # bucket 2: one task, 20s span, 80% covered
+        {"t": 200.0, "event": "progress", "task": "c", "percent": 20.0},
+        {"t": 220.0, "event": "progress", "task": "c", "percent": 100.0},
+        # a task with a single event contributes nothing
+        {"t": 300.0, "event": "progress", "task": "d", "percent": 100.0},
+    ]
+    path.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    sps, active_s, covered = steady_state_throughput(str(path), iters=100)
+    # active = (100..110) U (101..110) U (200..220) = 10 + 20 = 30s
+    assert active_s == 30.0
+    # covered = 50 + 50 + 80 steps at iters=100
+    assert covered == 180.0
+    assert abs(sps - 6.0) < 1e-9
+
+    # all-single-event stream -> None (no spans)
+    path.write_text(json.dumps(rows[-1]) + "\n")
+    assert steady_state_throughput(str(path), iters=100) is None
