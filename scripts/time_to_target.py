@@ -71,33 +71,46 @@ def candidates(cfg: Config):
 
 def run_to_target(job: TransferJob, target: float, steps_cap: int,
                   chunk: int):
-    """(steps, wall_s, loss, final_img) at the first chunk boundary whose
-    loss <= target (or the cap). Warmup compiles EVERY static chunk size
-    the timed run can trace — the steady k=chunk executable plus the
-    final partial chunk (steps_cap % chunk, or steps_cap itself when it
-    is below one chunk) — so no XLA compile ever lands inside the timed
-    region. final_img is non-None only when the run reached its very
-    last chunk (run() materializes the image there even with
-    yield_images=False)."""
-    sizes = {min(chunk, steps_cap)}
-    if steps_cap > chunk and steps_cap % chunk:
-        sizes.add(steps_cap % chunk)
-    for k in sorted(sizes):
-        for _ in job.run(iters_num=k, stream_every=k, yield_images=False):
-            pass  # compile + warm the executable; state is discarded
+    """(steps, wall_s, loss) at the first chunk boundary whose loss <=
+    target (or the cap).
+
+    r4 bench protocol: the run is dispatched with ONE EXTRA TAIL CHUNK so
+    every timed chunk is an intermediate one — run() yields its loss as a
+    lazy device scalar and the float() here is the sync point. run()'s
+    LAST chunk would instead materialize the full image before yielding
+    (a ~1s+ D2H through this tunnel at 512px), which must never land
+    inside a timed window: it would inflate only the rows that run to
+    their cap (the reference target row) and skew every
+    speedup_vs_target_wall. Final images come from rerun_image(),
+    untimed. Only the k=chunk executable is ever traced (the loop breaks
+    at a chunk boundary before the tail), so one warmup chunk covers all
+    compiles."""
+    for _ in job.run(iters_num=chunk, stream_every=chunk,
+                     yield_images=False):
+        pass  # compile + warm the k=chunk executable; state is discarded
 
     t0 = time.perf_counter()
     last = (0, float("inf"))
-    final_img = None
-    for done, img, f in job.run(iters_num=steps_cap, stream_every=chunk,
-                                yield_images=False):
+    for done, _img, f in job.run(iters_num=steps_cap + chunk,
+                                 stream_every=chunk, yield_images=False):
         f = float(f)  # single scalar fetch = the device sync point
         last = (done, f)
-        final_img = img
-        if f <= target:
+        if f <= target or done >= steps_cap:
             break
     wall = time.perf_counter() - t0
-    return last[0], wall, last[1], final_img
+    return last[0], wall, last[1]
+
+
+def rerun_image(job: TransferJob, steps: int, chunk: int) -> np.ndarray:
+    """Deterministic untimed re-run to the given step for the final image
+    (seeded init + seeded weights -> bit-identical trajectory; the
+    k=chunk executable is already warm, and `steps` is always a chunk
+    boundary here so no new executable is traced)."""
+    img = None
+    for _d, img, _f in job.run(iters_num=steps, stream_every=chunk,
+                               yield_images=False):
+        pass
+    return img
 
 
 def main():
@@ -126,9 +139,9 @@ def main():
     print(f"[target] running {name0} for {ref_steps} steps "
           f"(= reference iters_num={cfg.iters_num}) ...", file=sys.stderr)
     ref_job = TransferJob(content, style, ref_cfg, params=params)
-    t0 = time.perf_counter()
-    steps0, wall0, target, target_img = run_to_target(
+    steps0, wall0, target = run_to_target(
         ref_job, -np.inf, ref_steps, args.chunk)
+    target_img = rerun_image(ref_job, steps0, args.chunk)
     print(f"[target] loss {target:.6e} after {steps0} steps "
           f"({wall0:.1f}s)", file=sys.stderr)
 
@@ -147,17 +160,9 @@ def main():
     for name, c in candidates(cfg)[1:]:
         print(f"[run] {name} to target ...", file=sys.stderr)
         job = TransferJob(content, style, c, params=params)
-        steps, wall, loss, final_img = run_to_target(job, target,
-                                                     args.steps_cap,
-                                                     args.chunk)
-        if final_img is None:
-            # target reached at an intermediate chunk: deterministic
-            # re-run to the same step (the k=chunk executable is warm;
-            # the final partial chunk may compile here, OUTSIDE timing)
-            for _d, img, _f in job.run(iters_num=steps,
-                                       stream_every=args.chunk,
-                                       yield_images=False):
-                final_img = img
+        steps, wall, loss = run_to_target(job, target, args.steps_cap,
+                                          args.chunk)
+        final_img = rerun_image(job, steps, args.chunk)
         f32_loss, _ = metric_job.loss_report(final_img)
         rows.append({
             "config": name, "role": "candidate",
