@@ -653,6 +653,15 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                 os.makedirs(checkpoint_dir, exist_ok=True)
                 tag = hashlib.sha1(",".join(ids).encode()).hexdigest()[:16]
                 ckpt_path = os.path.join(checkpoint_dir, f"queue_{tag}.ckpt")
+                if not resume and os.path.exists(ckpt_path):
+                    # the caller explicitly declined to resume, so a file
+                    # left by a previous run of the same task ids is
+                    # garbage by definition — remove it NOW rather than
+                    # ignore it, because a transient-failure retry below
+                    # forces resume=True and would otherwise silently
+                    # load the stale state (or a stale-config fingerprint
+                    # mismatch would burn the whole retry budget)
+                    os.remove(ckpt_path)
             pad_to = None
             if pad_batches and policy != "sequential":
                 pad_to = min(cap, 1 << (len(group) - 1).bit_length())

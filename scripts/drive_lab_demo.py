@@ -55,6 +55,13 @@ def steady_state_throughput(path, iters):
     by the merged wall time yields the drive's steady-state throughput —
     the companion to the end-to-end figure, which the ~5 bucket compiles
     (~8 min each through the remote tunnel) otherwise dominate.
+    A task whose percent REGRESSES mid-stream (a --retries re-run
+    restarts the group from step 0 and re-emits low percentages) is
+    split into one monotone segment per attempt: the repeated steps are
+    counted once per attempt they actually ran, and the crash-plus-
+    retry-delay gap between attempts falls OUTSIDE the merged spans
+    like any other gap.
+
     Returns (job_steps_per_s, active_s, steps_covered) or None if fewer
     than two events exist for every task."""
     spans, covered = [], 0.0
@@ -69,17 +76,24 @@ def steady_state_throughput(path, iters):
                 continue
             if rec.get("event") != "progress" or "t" not in rec:
                 continue
-            entry = per_task.setdefault(
-                rec["task"], [rec["t"], rec["t"],
-                              float(rec["percent"]), float(rec["percent"])])
-            entry[0] = min(entry[0], rec["t"])
-            entry[1] = max(entry[1], rec["t"])
-            entry[2] = min(entry[2], float(rec["percent"]))
-            entry[3] = max(entry[3], float(rec["percent"]))
-    for t0, t1, p0, p1 in per_task.values():
-        if t1 > t0 and p1 > p0:
-            spans.append((t0, t1))
-            covered += (p1 - p0) / 100.0 * iters
+            per_task.setdefault(rec["task"], []).append(
+                (rec["t"], float(rec["percent"])))
+    for events in per_task.values():
+        events.sort()
+        # split into monotone non-decreasing percent segments
+        seg = [events[0]]
+        segments = [seg]
+        for t, p in events[1:]:
+            if p < seg[-1][1]:
+                seg = []
+                segments.append(seg)
+            seg.append((t, p))
+        for seg in segments:
+            t0, p0 = seg[0]
+            t1, p1 = seg[-1]
+            if t1 > t0 and p1 > p0:
+                spans.append((t0, t1))
+                covered += (p1 - p0) / 100.0 * iters
     if not spans:
         return None
     spans.sort()

@@ -101,6 +101,19 @@ def run_to_target(job: TransferJob, target: float, steps_cap: int,
     return last[0], wall, last[1]
 
 
+def chunk_for(steps: int, chunk: int) -> int:
+    """Largest chunk size <= the requested one that divides `steps`
+    exactly. run_to_target observes the loss only at chunk boundaries,
+    so the REFERENCE TARGET run must use a chunk that lands exactly on
+    its step count — a 250-step target measured with chunk=100 would
+    otherwise run to the 300-step boundary and set a stricter quality
+    bar than the reference ever reaches."""
+    c = min(chunk, steps)
+    while steps % c:
+        c -= 1
+    return c
+
+
 def rerun_image(job: TransferJob, steps: int, chunk: int) -> np.ndarray:
     """Deterministic untimed re-run to the given step for the final image
     (seeded init + seeded weights -> bit-identical trajectory; the
@@ -139,9 +152,11 @@ def main():
     print(f"[target] running {name0} for {ref_steps} steps "
           f"(= reference iters_num={cfg.iters_num}) ...", file=sys.stderr)
     ref_job = TransferJob(content, style, ref_cfg, params=params)
+    ref_chunk = chunk_for(ref_steps, args.chunk)
     steps0, wall0, target = run_to_target(
-        ref_job, -np.inf, ref_steps, args.chunk)
-    target_img = rerun_image(ref_job, steps0, args.chunk)
+        ref_job, -np.inf, ref_steps, ref_chunk)
+    assert steps0 == ref_steps, (steps0, ref_steps)
+    target_img = rerun_image(ref_job, steps0, ref_chunk)
     print(f"[target] loss {target:.6e} after {steps0} steps "
           f"({wall0:.1f}s)", file=sys.stderr)
 

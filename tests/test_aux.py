@@ -214,3 +214,35 @@ def test_drive_lab_demo_steady_state_throughput(tmp_path):
     # all-single-event stream -> None (no spans)
     path.write_text(json.dumps(rows[-1]) + "\n")
     assert steady_state_throughput(str(path), iters=100) is None
+
+
+def test_steady_state_throughput_splits_retry_segments(tmp_path):
+    """A --retries re-run restarts a bucket from step 0 (percent
+    regresses): each attempt counts as its own monotone segment, and the
+    crash + retry-delay gap between them is excluded like a compile."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "scripts"))
+    from drive_lab_demo import steady_state_throughput
+
+    path = tmp_path / "m.jsonl"
+    rows = [
+        # attempt 0: 10..40% over 10s, then the worker crashes
+        {"t": 100.0, "event": "progress", "task": "a", "percent": 10.0},
+        {"t": 110.0, "event": "progress", "task": "a", "percent": 40.0},
+        # 30s crash + retry-delay gap (must be excluded)
+        # attempt 1: restart from 10%, runs to 100% over 30s
+        {"t": 140.0, "event": "progress", "task": "a", "percent": 10.0},
+        {"t": 170.0, "event": "progress", "task": "a", "percent": 100.0},
+    ]
+    path.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    sps, active_s, covered = steady_state_throughput(str(path), iters=100)
+    # active = (100..110) U (140..170) = 40s; the 30s gap excluded
+    assert active_s == 40.0
+    # covered = 30 (attempt 0) + 90 (attempt 1): repeated steps count
+    # once per attempt they actually ran
+    assert covered == 120.0
+    assert abs(sps - 3.0) < 1e-9

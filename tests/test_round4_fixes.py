@@ -507,3 +507,52 @@ def test_run_job_queue_retry_resumes_from_checkpoint(monkeypatch, rng,
     # crash after the first chunk (step 2); the retry resumed at the
     # checkpoint instead of restarting: no second step-2 chunk
     assert seen_dones == [2, 4]
+
+
+def test_run_job_queue_fresh_run_removes_stale_checkpoint(monkeypatch, rng,
+                                                          tmp_path):
+    """Without resume, a checkpoint left by a PREVIOUS run of the same
+    task ids is deleted up front — a transient-failure retry forces
+    resume=True and must never silently load the stale state (observed
+    failure mode: attempt 0 crashes before its first save, attempt 1
+    resumes the old run's trajectory)."""
+    import hashlib
+
+    from artstyletransfer_tpu.parallel import batch as batch_mod
+
+    jobs = _one_job(rng)
+    cfg = Config(levels_num=1, base_diameter=16, iters_num=4,
+                 stream_every=2, init_method="content+noise")
+    # a first run leaves its (completed) checkpoint behind
+    r1, f1 = batch_mod.run_job_queue(jobs, cfg, checkpoint_dir=str(tmp_path),
+                                     checkpoint_every=2)
+    tag = hashlib.sha1(b"a").hexdigest()[:16]
+    ckpt = tmp_path / f"queue_{tag}.ckpt"
+    assert not f1 and ckpt.exists()
+    stale_mtime = ckpt.stat().st_mtime
+
+    # second fresh run, crashing BEFORE the first save: the retry must
+    # re-run this run's steps, not resume the old file
+    calls = {"fail": 0}
+    real = batch_mod.BatchedTransferJob
+
+    class FlakyOnce(real):
+        def run(self, *a, **kw):
+            if calls["fail"] == 0:
+                calls["fail"] += 1
+                raise RuntimeError("worker crashed before first save")
+            assert not kw.get("resume") or not ckpt.exists() or \
+                ckpt.stat().st_mtime != stale_mtime
+            return real.run(self, *a, **kw)
+
+    monkeypatch.setattr(batch_mod, "BatchedTransferJob", FlakyOnce)
+    import time as time_mod
+    time_mod.sleep(0.05)  # ensure a new save gets a distinct mtime
+    r2, f2 = batch_mod.run_job_queue(jobs, cfg, retries=1, retry_delay_s=0.0,
+                                     checkpoint_dir=str(tmp_path),
+                                     checkpoint_every=2)
+    assert not f2 and "a" in r2
+    assert calls["fail"] == 1
+    # the two fresh runs are bit-identical (seeded): the retry really
+    # re-ran from step 0 instead of resuming the stale checkpoint
+    np.testing.assert_array_equal(r1["a"], r2["a"])
