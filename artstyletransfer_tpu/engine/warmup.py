@@ -21,6 +21,24 @@ from ..parallel.batch import (DEFAULT_ASPECT_BUCKETS,  # noqa: F401
                               bucket_content_shape)
 
 
+def warmup_serving(cfg: Config, online: bool,
+                   aspects: Optional[Sequence[float]] = None) -> int:
+    """The frontends' shared --warmup entry point: precompile every
+    serving aspect bucket; with online batching, the exact (batch sizes,
+    mesh) combination online rounds dispatch (online_warmup_plan).
+    Returns the number of executables warmed. `aspects` narrows the
+    bucket list (tests)."""
+    sizes = None
+    mesh = None
+    if online:
+        from ..parallel.mesh import default_serving_mesh
+
+        sizes, mesh = online_warmup_plan(cfg, default_serving_mesh())
+    kwargs = {} if aspects is None else {"aspects": aspects}
+    return warmup_aspect_buckets(cfg, batch_sizes=sizes, mesh=mesh,
+                                 **kwargs)
+
+
 def online_warmup_plan(cfg: Config, mesh,
                        batch_policy: str = "auto",
                        max_batch: int = 8):

@@ -347,6 +347,13 @@ def main(argv=None) -> int:
                         help="re-run a failed batched/online group up to N "
                              "extra times (transient TPU-worker crashes "
                              "recover in ~20s)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="precompile every serving aspect bucket before "
+                             "binding the port (with --online: the vmapped "
+                             "batched executables at exactly the sizes and "
+                             "mesh online rounds dispatch) so the first "
+                             "request never hits a minutes-long cold "
+                             "compile")
     args = parser.parse_args(argv)
     cfg = PRESETS[args.preset]
     if args.compute_dtype is not None:
@@ -355,6 +362,10 @@ def main(argv=None) -> int:
         cfg = production_config(cfg)
     pairs = (CONTENT_STYLE_FILENAME_PAIRS[:args.max_pairs]
              if args.max_pairs else None)
+    if args.warmup:
+        from ..engine.warmup import warmup_serving
+
+        warmup_serving(cfg, online=args.online)
     app = create_app(config=cfg, data_dir=args.data_dir, pairs=pairs,
                      autostart=not args.no_autostart, batched=args.batched,
                      online=args.online, metrics_path=args.metrics,

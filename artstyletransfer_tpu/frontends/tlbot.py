@@ -374,22 +374,14 @@ def main(argv=None) -> int:
     else:
         cfg = production_config(Config())
     if args.warmup:
-        from ..engine.warmup import online_warmup_plan, warmup_aspect_buckets
+        from ..engine.warmup import warmup_serving
 
-        sizes = None
-        warm_mesh = None
-        if args.online_batching:
-            from ..parallel import default_serving_mesh
-
-            # online serving ALWAYS dispatches through BatchedTransferJob
-            # (a separate executable from the single-job graph, even at
-            # batch 1): warm every (size, mesh) combination the online
-            # executor's rounds can dispatch — the plan mirrors
-            # run_job_queue's routing, including the sequential path's
-            # mesh-drop on multi-chip hosts
-            sizes, warm_mesh = online_warmup_plan(
-                cfg, default_serving_mesh())
-        warmup_aspect_buckets(cfg, batch_sizes=sizes, mesh=warm_mesh)
+        # online serving ALWAYS dispatches through BatchedTransferJob (a
+        # separate executable from the single-job graph, even at batch
+        # 1): warmup_serving warms every (size, mesh) combination online
+        # rounds can dispatch — the plan mirrors run_job_queue's routing,
+        # including the sequential path's mesh-drop on multi-chip hosts
+        warmup_serving(cfg, online=args.online_batching)
     metrics = None
     if args.metrics:
         from ..utils.metrics import MetricsLogger

@@ -556,3 +556,34 @@ def test_run_job_queue_fresh_run_removes_stale_checkpoint(monkeypatch, rng,
     # the two fresh runs are bit-identical (seeded): the retry really
     # re-ran from step 0 instead of resuming the stale checkpoint
     np.testing.assert_array_equal(r1["a"], r2["a"])
+
+
+def test_warmup_serving_shared_entry(vgg_params, monkeypatch):
+    """Both frontends' --warmup goes through one warmup_serving entry:
+    single-job graphs without online batching, the online (sizes, mesh)
+    plan with it."""
+    from artstyletransfer_tpu.engine import warmup as warmup_mod
+
+    cfg = Config(levels_num=1, base_diameter=16, iters_num=2,
+                 stream_every=2, optimizer="adam")
+    calls = {}
+
+    def fake_buckets(c, params=None, aspects=None, batch_sizes=None,
+                     mesh=None, **kw):
+        calls["sizes"] = batch_sizes
+        calls["mesh"] = mesh
+        return 1
+
+    # the real compile path runs end-to-end at a tiny shape (before the
+    # fake is patched in): one executable per padded batch size
+    n = warmup_mod.warmup_serving(cfg, online=True, aspects=(1.0,))
+    assert n == 4
+
+    monkeypatch.setattr(warmup_mod, "warmup_aspect_buckets", fake_buckets)
+    assert warmup_mod.warmup_serving(cfg, online=False) == 1
+    assert calls == {"sizes": None, "mesh": None}
+    # online: the plan's padded power-of-two ladder (no mesh in tests —
+    # conftest pins ASTT_SERVING_MESH=none)
+    assert warmup_mod.warmup_serving(cfg, online=True) == 1
+    assert calls["sizes"] == (1, 2, 4, 8)
+    assert calls["mesh"] is None
