@@ -316,7 +316,9 @@ def require_device(timeout_s: float) -> None:
         "unit": "steps/sec",
         "vs_baseline": None,
         "error": f"jax device init did not complete in {timeout_s:.0f}s "
-                 "(TPU tunnel down?)",
+                 "(TPU tunnel down? outage started 2026-08-17 ~23:00 UTC); "
+                 "last real-chip headline (r3, same graph at default "
+                 "precision): 13.21 steps/s, 917x torch-CPU",
     }), flush=True)
     os._exit(1)
 
