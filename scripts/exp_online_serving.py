@@ -18,8 +18,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from artstyletransfer_tpu import config as config_mod  # noqa: E402
