@@ -522,13 +522,20 @@ async def neural_style_transfer(content_n_style: ContentStylePair,
                                 noise_levels_dispersion,
                                 params=None, stream_every: int = 10,
                                 seed: int = 0, base_diameter: int = 256,
-                                config: Optional[Config] = None):
+                                config: Optional[Config] = None,
+                                stream_images: bool = True):
     """Async generator yielding (percent, image) — the reference engine API
     (reference neural_style_transfer.py:229-372).
 
     Heavy jitted chunks are dispatched via the default thread pool so the
     asyncio event loop stays responsive (the reference does the same for
     optimizer.step, reference neural_style_transfer.py:206).
+
+    stream_images=False yields (percent, None) on intermediate chunks
+    (the final chunk always carries the image) — the single-job twin of
+    run_job_queue's knob: it skips the per-chunk device->host image fetch
+    and keeps the chunk pipeline unsynced for headless/latency-bound
+    callers.
     """
     cfg = config if config is not None else Config(
         content_weight=content_weight, style_weight=style_weight,
@@ -546,7 +553,7 @@ async def neural_style_transfer(content_n_style: ContentStylePair,
         None, lambda: TransferJob(content_n_style.content[1],
                                   content_n_style.style[1], cfg, params))
 
-    it = job.run()
+    it = job.run(yield_images=stream_images)
 
     def next_chunk():
         try:

@@ -50,6 +50,7 @@ class OnlineBatchingExecutor:
                  batch_policy: str = "auto",
                  pad_batches: bool = True,
                  retries: int = 0,
+                 stream_images: bool = True,
                  queue_runner: Optional[Callable] = None):
         # `engine` is accepted for signature parity with Executor but the
         # unit of execution here is the batched queue; tests inject
@@ -78,6 +79,11 @@ class OnlineBatchingExecutor:
         # re-run a failed round's jobs (transient TPU-worker crashes
         # recover in ~20s; see run_job_queue retries)
         self.retries = retries
+        # stream_images=False: progress callbacks receive images=None on
+        # intermediate chunks (final images still delivered) — skips the
+        # per-chunk device->host image fetch for headless/latency-bound
+        # serving (same knob as run_job_queue)
+        self.stream_images = stream_images
         self.queue_runner = queue_runner  # injectable (tests)
         self.__progress: Dict[str, tuple] = {}
         self.__progress_lock = asyncio.Lock()
@@ -223,6 +229,7 @@ class OnlineBatchingExecutor:
                 mesh=self.mesh, progress=progress_cb,
                 batch_policy=self.batch_policy, max_batch=self.max_batch,
                 pad_batches=self.pad_batches, retries=self.retries,
+                stream_images=self.stream_images,
                 # shapes were canonicalized at add_task; re-canonicalizing
                 # inside the queue would be a no-op either way
                 canonicalize_styles=False, canonicalize_contents=False))

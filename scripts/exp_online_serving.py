@@ -45,7 +45,7 @@ def make_pairs(n, cfg):
             for i in range(n)]
 
 
-async def run_semaphore(pairs, cfg, params):
+async def run_semaphore(pairs, cfg, params, stream_images=True):
     executor_mod.reset_semaphore()
 
     async def engine(pair, *a, **kw):
@@ -54,8 +54,9 @@ async def run_semaphore(pairs, cfg, params):
             neural_style_transfer)
         kw.pop("params", None)
         kw.pop("config", None)  # Task forwards it; we bind our own below
-        async for out in neural_style_transfer(pair, *a, params=params,
-                                               config=cfg, **kw):
+        async for out in neural_style_transfer(
+                pair, *a, params=params, config=cfg,
+                stream_images=stream_images, **kw):
             yield out
 
     ex = Executor(cfg, engine=engine, verbose=False)
@@ -68,9 +69,10 @@ async def run_semaphore(pairs, cfg, params):
     return wall
 
 
-async def run_online(pairs, cfg, params):
+async def run_online(pairs, cfg, params, stream_images=True):
     ex = OnlineBatchingExecutor(cfg, verbose=False, params=params,
                                 canonicalize=False,  # already canonical
+                                stream_images=stream_images,
                                 batch_window_s=0.1)
     t0 = time.perf_counter()
     for i, p in enumerate(pairs):
@@ -89,7 +91,15 @@ def main():
     ap.add_argument("--stream-every", type=int, default=50)
     ap.add_argument("--base-diameter", type=int, default=256,
                     help="level-0 shortest side (16 for a CPU smoke run)")
+    ap.add_argument("--no-images", action="store_true",
+                    help="skip per-chunk image D2H in BOTH timed paths "
+                         "(final images still produced). The fetch is ~2 ms"
+                         " on a real TPU host NIC but 0.2-1 s/chunk through"
+                         " this host's tunnel (CLAUDE.md) — this flag "
+                         "removes that equal-on-both-sides tunnel artifact"
+                         " from the serving comparison")
     args = ap.parse_args()
+    stream_images = not args.no_images
 
     cfg = production_config(Config(
         levels_num=1, optimizer="adam", iters_num=args.iters,
@@ -124,17 +134,20 @@ def main():
 
     print("[run] semaphore executor (reference scheduling) ...",
           file=sys.stderr)
-    wall_sem = asyncio.run(run_semaphore(pairs, cfg, params))
+    wall_sem = asyncio.run(run_semaphore(pairs, cfg, params,
+                                         stream_images=stream_images))
     print(f"  {wall_sem:.1f}s = {total_steps / wall_sem:.1f} job-steps/s",
           file=sys.stderr)
 
     print("[run] online batching executor ...", file=sys.stderr)
-    wall_onl = asyncio.run(run_online(pairs, cfg, params))
+    wall_onl = asyncio.run(run_online(pairs, cfg, params,
+                                      stream_images=stream_images))
     print(f"  {wall_onl:.1f}s = {total_steps / wall_onl:.1f} job-steps/s",
           file=sys.stderr)
 
     out = {
         "jobs": args.jobs, "iters": args.iters,
+        "stream_images": stream_images,
         "config": f"1level{args.base_diameter}_adam_{cfg.compute_dtype}",
         "semaphore_wall_s": round(wall_sem, 2),
         "semaphore_job_steps_per_s": round(total_steps / wall_sem, 2),

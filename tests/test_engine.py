@@ -161,6 +161,35 @@ def test_async_generator_reference_api(images, vgg_params):
     assert all(s[2] == 3 for _, s in out)
 
 
+def test_async_generator_no_image_streaming(images, vgg_params):
+    """stream_images=False: intermediate chunks yield (percent, None) —
+    no per-chunk device->host image fetch — while the final chunk always
+    carries the image (the single-job twin of run_job_queue's knob)."""
+    content, style = images
+    pair = ContentStylePair(("c.jpg", content), ("s.jpg", style))
+    cfg = Config()
+
+    async def collect():
+        out = []
+        async for percent, img in neural_style_transfer(
+                pair, cfg.content_weight, cfg.style_weight, cfg.tv_weight,
+                "adam", "vgg19", "content+noise", iters_num=6, levels_num=1,
+                noise_factor=cfg.noise_factor, noise_levels=cfg.noise_levels,
+                noise_levels_central_amplitude=cfg.noise_levels_central_amplitude,
+                noise_levels_peripheral_amplitude=cfg.noise_levels_peripheral_amplitude,
+                noise_levels_dispersion=cfg.noise_levels_dispersion,
+                params=vgg_params, stream_every=2, base_diameter=16,
+                stream_images=False):
+            out.append((percent, img))
+        return out
+
+    out = asyncio.run(collect())
+    assert [p for p, _ in out] == [pytest.approx(100 * k / 3) for k in
+                                   (1, 2, 3)]
+    assert all(img is None for _, img in out[:-1])
+    assert out[-1][1] is not None and out[-1][1].shape[2] == 3
+
+
 def test_unknown_optimizer_raises(images, vgg_params):
     content, style = images
     cfg = Config(optimizer="sgd", base_diameter=16, levels_num=1)

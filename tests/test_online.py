@@ -30,10 +30,11 @@ class FakeQueueRunner:
 
     def __call__(self, jobs, cfg, params=None, mesh=None, progress=None,
                  batch_policy="auto", max_batch=None, pad_batches=False,
-                 retries=0,
+                 retries=0, stream_images=True,
                  canonicalize_styles=False, canonicalize_contents=False):
         self.calls.append([j[0] for j in jobs])
         self.pad_batches = pad_batches
+        self.stream_images = stream_images
         self.mesh = mesh
         if self.delay_s:
             time.sleep(self.delay_s)
@@ -96,6 +97,34 @@ def test_online_forwards_mesh_to_queue():
 
     asyncio.run(go())
     assert runner.mesh is mesh and runner.calls == [["t0"]]
+
+
+def test_online_forwards_stream_images_to_queue():
+    """stream_images=False reaches every dispatched round: headless serving
+    can skip the per-chunk image D2H (run_job_queue still delivers final
+    images on the last chunk)."""
+    runner = FakeQueueRunner()
+    ex = OnlineBatchingExecutor(Config(iters_num=2), verbose=False,
+                                canonicalize=False, queue_runner=runner,
+                                stream_images=False, batch_window_s=0.02)
+
+    async def go():
+        await ex.add_task("t0", _pair(0))
+        await ex.run()
+
+    asyncio.run(go())
+    assert runner.stream_images is False and runner.calls == [["t0"]]
+    # default stays on: serving frontends stream previews
+    ex2 = OnlineBatchingExecutor(Config(iters_num=2), verbose=False,
+                                 canonicalize=False, queue_runner=runner,
+                                 batch_window_s=0.02)
+
+    async def go2():
+        await ex2.add_task("t1", _pair(1))
+        await ex2.run()
+
+    asyncio.run(go2())
+    assert runner.stream_images is True
 
 
 def test_online_arrivals_during_run_join_next_round():
