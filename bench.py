@@ -113,6 +113,11 @@ BENCH_CONFIGS = {
     # batch-size scaling on one chip (serving saturation curve)
     "batch32x1level256": dict(levels_num=1, base_diameter=256, _batch=32,
                               compute_dtype="bfloat16"),
+    # the online-serving A/B's round size (4 concurrent jobs coalesce into
+    # one batch-4 round): this row is the raw vmapped ceiling the online
+    # executor's dispatch overhead is measured against
+    "batch4x1level256bf16": dict(levels_num=1, base_diameter=256, _batch=4,
+                                 compute_dtype="bfloat16"),
     "batch16x2level512bf16": dict(levels_num=2, base_diameter=256,
                                   _batch=16, compute_dtype="bfloat16"),
     # production-precision batched serving throughput (frontends default
