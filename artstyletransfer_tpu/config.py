@@ -91,6 +91,18 @@ class Config:
     stream_every: int = 10              # steps per jitted chunk between
                                         # progress yields (reference yields every
                                         # step: neural_style_transfer.py:208)
+    pipeline_streaming: bool = True     # image-streaming runs dispatch
+                                        # chunk k+1 BEFORE materializing
+                                        # chunk k's preview (one extra
+                                        # on-device image copy), so the
+                                        # device->host progress fetch and
+                                        # the frontends' report hooks
+                                        # overlap the next chunk's compute
+                                        # instead of stalling the chip.
+                                        # Host-side scheduling only — the
+                                        # traced graph, the yielded values
+                                        # and their order are identical
+                                        # (not part of _config_key).
     seed: int = 0                       # PRNG seed for noise init
 
     # --- demonstration / ablation flags (reference

@@ -405,7 +405,10 @@ class TransferJob:
         intermediate chunks (the final chunk always carries the image):
         one D2H image copy per chunk is the entire host-side cost of
         progress streaming, so latency-critical callers can trade preview
-        frames for throughput.
+        frames for throughput. When images ARE streamed,
+        config.pipeline_streaming (default on) dispatches each next chunk
+        before materializing the previous one, overlapping that fetch with
+        device compute — same yielded values, same order.
 
         report_level_losses=True computes per-level (total, content, style,
         tv) components at every synced chunk boundary (one extra forward
@@ -455,12 +458,54 @@ class TransferJob:
         if opt_state is None:
             opt_state = self._init_fn(self.params, self.targets, x)
         last_saved = done
+        # Lookahead streaming (config.pipeline_streaming): dispatch chunk
+        # k+1 BEFORE materializing chunk k's image, so the per-chunk D2H
+        # fetch and the consumer's progress/report hooks overlap the next
+        # chunk's device compute instead of stalling the chip. The chunk
+        # runner donates its x buffer, so the handle kept for fetching is
+        # an on-device copy (cheap: one HBM image copy per chunk). Yielded
+        # values and their order are identical to the sequential path.
+        # report_level_losses re-reads x AFTER the yield, which the next
+        # dispatch would have donated — that diagnostics mode stays
+        # sequential.
+        lookahead = (yield_images and cfg.pipeline_streaming
+                     and not report_level_losses)
+        pending = None  # (done, x_fetch, f) dispatched, not yet yielded
+
+        def materialize(done_k, x_fetch, f_k):
+            f_k = float(f_k)
+            if cfg.nan_checks and not np.isfinite(f_k):
+                raise FloatingPointError(
+                    f"non-finite loss {f_k} at step {done_k} "
+                    f"(optimizer={cfg.optimizer}, "
+                    f"lr_start={cfg.lr_start}); the TPU analogue of the "
+                    f"reference's autograd-anomaly guard tripped")
+            img_k = unprepare_img(
+                np.asarray(x_fetch).reshape(self.level_shapes[0]))
+            return done_k, img_k, f_k
+
         while done < iters:
             k = min(chunk, iters - done)
             x, opt_state, f = self._chunk_fn(
                 self.params, self.targets, x, opt_state,
                 jnp.int32(done), int(k))
             done += k
+            if lookahead:
+                if (checkpoint_path and checkpoint_every
+                        and (done - last_saved >= checkpoint_every
+                             or done >= iters)):
+                    # save_checkpoint materializes x (a device sync), so
+                    # checkpoint-bearing chunks simply don't overlap
+                    save_checkpoint(checkpoint_path, x, opt_state, done,
+                                    fingerprint=fp)
+                    last_saved = done
+                # non-donated handle for the D2H fetch; the final chunk
+                # needs no copy (nothing dispatches after it)
+                x_fetch = x if done >= iters else jnp.copy(x)
+                if pending is not None:
+                    yield materialize(*pending)
+                pending = (done, x_fetch, f)
+                continue
             sync = yield_images or done >= iters
             if sync:
                 # the float() conversion is the device sync point; in
@@ -494,6 +539,8 @@ class TransferJob:
             else:
                 img = None
             yield done, img, f
+        if pending is not None:
+            yield materialize(*pending)
 
     def initial_loss(self) -> float:
         """Total loss at the init image (before any optimization)."""

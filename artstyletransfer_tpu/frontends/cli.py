@@ -85,6 +85,11 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                    default=None,
                    help="raise on non-finite loss at chunk boundaries "
                         "(default on)")
+    p.add_argument("--pipeline-streaming",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="overlap each chunk's progress-image fetch with "
+                        "the next chunk's device compute (default on; "
+                        "numerically identical)")
     p.add_argument("--lbfgs-history", type=int, default=None,
                    help=f"L-BFGS memory pairs (default {d.lbfgs_history})")
     p.add_argument("--lbfgs-max-ls-steps", type=int, default=None,
@@ -167,7 +172,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "compute_dtype": "compute_dtype", "conv_precision": "conv_precision",
         "pool_impl": "pool_impl", "fused_style_bwd": "fused_style_bwd",
         "use_pallas": "use_pallas", "remat_levels": "remat_levels",
-        "nan_checks": "nan_checks", "lbfgs_history": "lbfgs_history",
+        "nan_checks": "nan_checks",
+        "pipeline_streaming": "pipeline_streaming",
+        "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
         "lbfgs_direction": "lbfgs_direction",
         "lr_start": "lr_start", "lr_decay": "lr_decay",

@@ -311,6 +311,31 @@ class BatchedTransferJob:
         if opt_state is None:
             opt_state = self._init_fn(self.params, self.targets, x)
         last_saved = done
+        # Lookahead streaming, same contract as TransferJob.run: dispatch
+        # chunk k+1 before materializing chunk k, so the whole batch's
+        # image fetch + every job's progress hooks overlap the next
+        # chunk's compute. x is donated by the next dispatch, so the
+        # fetch handle is an on-device copy.
+        lookahead = yield_images and cfg.pipeline_streaming
+        pending = None  # (done, x_fetch, f) dispatched, not yet yielded
+
+        def materialize(done_k, x_fetch, f_k):
+            imgs_k = np.asarray(x_fetch).reshape((self.batch,) + top[1:])
+            imgs_k = np.stack([unprepare_img(im)
+                               for im in imgs_k[:self.real_batch]])
+            losses_k = np.asarray(f_k)[:self.real_batch]
+            # same opportunistic guard as TransferJob.run: the losses
+            # are already fetched here, so the check is free; it names
+            # the offending jobs so a poisoned batch is diagnosable
+            if cfg.nan_checks and not np.isfinite(losses_k).all():
+                bad = np.flatnonzero(~np.isfinite(losses_k)).tolist()
+                raise FloatingPointError(
+                    f"non-finite loss at step {done_k} for batch "
+                    f"element(s) {bad} of {self.real_batch} "
+                    f"(optimizer={cfg.optimizer}, "
+                    f"lr_start={cfg.lr_start})")
+            return done_k, imgs_k, losses_k
+
         while done < iters:
             k = min(chunk, iters - done)
             x, opt_state, f = self._chunk_fn(
@@ -320,27 +345,22 @@ class BatchedTransferJob:
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
                          or done >= iters)):
+                # materializes x (a device sync): checkpoint-bearing
+                # chunks simply don't overlap
                 save_checkpoint(checkpoint_path, x, opt_state, done,
                                 fingerprint=fp)
                 last_saved = done
-            if yield_images or done >= iters:
-                imgs = np.asarray(x).reshape((self.batch,) + top[1:])
-                imgs = np.stack([unprepare_img(im)
-                                 for im in imgs[:self.real_batch]])
-                losses = np.asarray(f)[:self.real_batch]
-                # same opportunistic guard as TransferJob.run: the losses
-                # are already fetched here, so the check is free; it names
-                # the offending jobs so a poisoned batch is diagnosable
-                if cfg.nan_checks and not np.isfinite(losses).all():
-                    bad = np.flatnonzero(~np.isfinite(losses)).tolist()
-                    raise FloatingPointError(
-                        f"non-finite loss at step {done} for batch "
-                        f"element(s) {bad} of {self.real_batch} "
-                        f"(optimizer={cfg.optimizer}, "
-                        f"lr_start={cfg.lr_start})")
+            if lookahead:
+                x_fetch = x if done >= iters else jnp.copy(x)
+                if pending is not None:
+                    yield materialize(*pending)
+                pending = (done, x_fetch, f)
+            elif yield_images or done >= iters:
+                yield materialize(done, x, f)
             else:
-                imgs, losses = None, f
-            yield done, imgs, losses
+                yield done, None, f
+        if pending is not None:
+            yield materialize(*pending)
 
 
 def bucket_jobs(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]]

@@ -190,6 +190,62 @@ def test_async_generator_no_image_streaming(images, vgg_params):
     assert out[-1][1] is not None and out[-1][1].shape[2] == 3
 
 
+def test_pipeline_streaming_yields_identical_sequence(images, vgg_params):
+    """config.pipeline_streaming is host-side scheduling only: the
+    lookahead path must yield bit-identical (steps, image, loss) tuples in
+    the same order as the sequential path — single-job and batched."""
+    import dataclasses
+
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    base = Config(levels_num=1, iters_num=6, base_diameter=16,
+                  optimizer="adam", stream_every=2)
+    seq_cfg = dataclasses.replace(base, pipeline_streaming=False)
+
+    out_pipe = list(TransferJob(content, style, base,
+                                params=vgg_params).run())
+    out_seq = list(TransferJob(content, style, seq_cfg,
+                               params=vgg_params).run())
+    assert [d for d, _, _ in out_pipe] == [2, 4, 6]
+    assert [d for d, _, _ in out_pipe] == [d for d, _, _ in out_seq]
+    for (_, i1, f1), (_, i2, f2) in zip(out_pipe, out_seq):
+        assert f1 == f2
+        np.testing.assert_array_equal(i1, i2)
+
+    bp = list(BatchedTransferJob([content] * 2, [style] * 2, base,
+                                 params=vgg_params).run())
+    bs = list(BatchedTransferJob([content] * 2, [style] * 2, seq_cfg,
+                                 params=vgg_params).run())
+    assert [d for d, _, _ in bp] == [d for d, _, _ in bs] == [2, 4, 6]
+    for (_, i1, f1), (_, i2, f2) in zip(bp, bs):
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(i1, i2)
+
+
+def test_pipeline_streaming_checkpoint_resume(tmp_path, images, vgg_params):
+    """Lookahead + checkpointing: the checkpoint may run one chunk AHEAD
+    of the yields (chunk k+1 is dispatched — and saved — before chunk k is
+    yielded), which is a strictly-fresher valid resume state; a resumed
+    run must land bit-exactly on the uninterrupted run's final state."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=6, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ckpt = str(tmp_path / "job.npz")
+    full = list(TransferJob(content, style, cfg, params=vgg_params).run())
+
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    it = job.run(checkpoint_path=ckpt, checkpoint_every=2)
+    first = next(it)  # consumer saw chunk 1; chunk 2 already saved
+    assert first[0] == 2
+    it.close()  # crash after the first yield
+    resumed = list(TransferJob(content, style, cfg, params=vgg_params).run(
+        checkpoint_path=ckpt, checkpoint_every=2, resume=True))
+    assert [d for d, _, _ in resumed] == [6]  # resumes from the step-4 save
+    np.testing.assert_array_equal(resumed[-1][1], full[-1][1])
+    assert resumed[-1][2] == full[-1][2]
+
+
 def test_unknown_optimizer_raises(images, vgg_params):
     content, style = images
     cfg = Config(optimizer="sgd", base_diameter=16, levels_num=1)
