@@ -80,6 +80,16 @@ class Config:
                                         # (textbook recursion, torch's
                                         # form). Identical math — see
                                         # engine/lbfgs.py.
+    lbfgs_t_init: str = "lr"            # line search's first trial step:
+                                        # 'lr' (torch parity: every search
+                                        # opens at the decayed lr) |
+                                        # 'unit' (quasi-Newton natural
+                                        # t=1 once history exists — fewer
+                                        # line-search evals on the
+                                        # eval-bound full-Wolfe path, same
+                                        # strong-Wolfe guarantees, not
+                                        # torch's trajectory). See
+                                        # engine/lbfgs.py::lbfgs_step.
 
     # --- TPU-native knobs (no reference counterpart) ---
     base_diameter: int = 256            # level-0 shortest side

@@ -416,7 +416,7 @@ def _strong_wolfe(loss_grad: LossGradFn, x: jax.Array, d: jax.Array,
 
 def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
                lr: jax.Array, max_ls_steps: int = 25,
-               direction_impl: str = "matrix"
+               direction_impl: str = "matrix", t_init: str = "lr"
                ) -> Tuple[jax.Array, LbfgsState]:
     """One L-BFGS iteration (direction + strong-Wolfe search + history update).
 
@@ -425,6 +425,19 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
     torch LBFGS(max_iter=1, strong_wolfe).step() of the reference.
     direction_impl: 'matrix' (MXU-batched two-loop, production) or 'loop'
     (textbook recursion) — identical math, see _two_loop_direction.
+    t_init selects the line search's first trial step:
+      'lr'   — torch parity: every search starts at lr (the reference's
+               10.0 x 0.999-decay schedule), except torch's
+               min(1, 1/|g|_1) scaling of the very first step.
+      'unit' — quasi-Newton natural step: once a curvature pair is stored
+               the gamma-scaled two-loop direction is well-scaled, so the
+               first trial is t=1 (Nocedal & Wright's recommendation for
+               quasi-Newton searches); before any pair exists it falls
+               back to the 'lr' rule. Typically accepted immediately by
+               the Wolfe conditions, cutting line-search evals on the
+               eval-bound full-Wolfe path. Identical convergence theory —
+               every accepted point still satisfies strong Wolfe — but a
+               different trajectory than torch's.
     """
     m = state.s_hist.shape[0]
     g0 = state.g
@@ -446,6 +459,14 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
     t0 = jnp.where(state.n_iter == 0,
                    lr * jnp.minimum(1.0, 1.0 / jnp.maximum(g_l1, 1e-20)),
                    lr)
+    if t_init == "unit":
+        # natural quasi-Newton trial once the direction is gamma-scaled;
+        # history-less steps (count==0: steepest descent, unscaled) keep
+        # the 'lr' rule above
+        t0 = jnp.where(state.count > 0, jnp.ones_like(t0), t0)
+    elif t_init != "lr":
+        raise ValueError(f"unknown lbfgs t_init {t_init!r}; "
+                         "expected 'lr' or 'unit'")
 
     t, f_new, g_new, ls_evals = _strong_wolfe(
         loss_grad, x, d, f0, g0, t0, max_iter=max_ls_steps)

@@ -194,6 +194,7 @@ def _config_key(cfg: Config, level_shapes, space_mesh=None) -> tuple:
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
             cfg.lr_decay_per_eval,
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.lbfgs_direction,
+            cfg.lbfgs_t_init,
             cfg.remat_levels,
             cfg.pool_impl, cfg.use_pallas and _on_tpu(),
             cfg.fused_style_bwd,
@@ -299,7 +300,8 @@ def _build_runners(cfg: Config, level_shapes, warn_hbm: bool = True,
             x, opt_state = lbfgs_mod.lbfgs_step(
                 lg, x, opt_state, lr,
                 max_ls_steps=cfg.lbfgs_max_ls_steps,
-                direction_impl=cfg.lbfgs_direction)
+                direction_impl=cfg.lbfgs_direction,
+                t_init=cfg.lbfgs_t_init)
             return x, opt_state, opt_state.f
 
     else:

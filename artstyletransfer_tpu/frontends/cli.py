@@ -100,6 +100,12 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                    help="two-loop recursion lowering (matrix = MXU-batched "
                         "Gram contractions, ~6x faster at history=100; "
                         "loop = textbook form; identical math)")
+    p.add_argument("--lbfgs-t-init", choices=["lr", "unit"], default=None,
+                   help="line search's first trial step: lr = torch parity "
+                        "(search opens at the decayed lr); unit = "
+                        "quasi-Newton t=1 once history exists (fewer "
+                        "line-search evals, same strong-Wolfe guarantees, "
+                        "not torch's trajectory)")
     p.add_argument("--lr-start", type=float, default=None,
                    help=f"initial learning rate (default {d.lr_start})")
     p.add_argument("--lr-decay", type=float, default=None,
@@ -177,6 +183,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
         "lbfgs_direction": "lbfgs_direction",
+        "lbfgs_t_init": "lbfgs_t_init",
         "lr_start": "lr_start", "lr_decay": "lr_decay",
         "lr_decay_per_eval": "lr_decay_per_eval",
         "seed": "seed", "demo_normal_noise": "demo_normal_noise",

@@ -331,6 +331,73 @@ def test_lbfgs_matrix_direction_minimizes_quadratic():
                                    atol=1e-3, err_msg=impl)
 
 
+def test_lbfgs_t_init_unit_accepts_newton_step_in_one_eval():
+    """t_init='unit': once a curvature pair exists, the gamma-scaled
+    direction on an isotropic quadratic IS the Newton step, so the t=1
+    trial satisfies strong Wolfe immediately — exactly one line-search
+    eval — and lands on the optimum."""
+    n = 4
+    a = jnp.float32(2.0)
+
+    def loss_grad(x):
+        return 0.5 * a * jnp.dot(x, x), a * x
+
+    x = jnp.full((n,), 0.5, jnp.float32)
+    state = lbfgs_mod.init_state(loss_grad, x, history=4)
+    # step 1: no history -> falls back to the 'lr' opening trial
+    x, state = lbfgs_mod.lbfgs_step(loss_grad, x, state, jnp.float32(0.1),
+                                    t_init="unit")
+    assert int(state.count) == 1
+    evals_before = int(state.n_evals)
+    # step 2: gamma = s.y/y.y = 1/a -> exact Newton direction; t=1 accepted
+    x, state = lbfgs_mod.lbfgs_step(loss_grad, x, state, jnp.float32(0.1),
+                                    t_init="unit")
+    assert int(state.n_evals) - evals_before == 1
+    np.testing.assert_allclose(np.asarray(x), np.zeros(n), atol=1e-6)
+
+
+def test_lbfgs_t_init_validation_and_lr_default_unchanged():
+    """Unknown t_init raises; t_init='lr' is bit-identical to the default
+    (the knob must not perturb the torch-parity path)."""
+    n = 8
+    rng = np.random.default_rng(11)
+    A = np.diag(rng.uniform(0.5, 3.0, n)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def loss_grad(x):
+        return 0.5 * x @ A_j @ x - b_j @ x, A_j @ x - b_j
+
+    x0 = jnp.zeros(n)
+    state0 = lbfgs_mod.init_state(loss_grad, x0, history=4)
+    with pytest.raises(ValueError, match="t_init"):
+        lbfgs_mod.lbfgs_step(loss_grad, x0, state0, jnp.float32(1.0),
+                             t_init="bogus")
+    x_d, st_d = lbfgs_mod.lbfgs_step(loss_grad, x0, state0, jnp.float32(1.0))
+    x_l, st_l = lbfgs_mod.lbfgs_step(loss_grad, x0, state0, jnp.float32(1.0),
+                                     t_init="lr")
+    np.testing.assert_array_equal(np.asarray(x_d), np.asarray(x_l))
+    assert int(st_d.n_evals) == int(st_l.n_evals)
+
+
+def test_lbfgs_t_init_unit_engine_end_to_end(images, vgg_params):
+    """config.lbfgs_t_init='unit' through the full engine: runs, reduces
+    the loss, and compiles as a distinct graph (separate cache key)."""
+    from artstyletransfer_tpu.engine.transfer import _config_key
+
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=6, base_diameter=16,
+                 optimizer="lbfgs", stream_every=6, lbfgs_history=4,
+                 lbfgs_t_init="unit")
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    start = job.initial_loss()
+    final = [f for _, _, f in job.run()][-1]
+    assert final < start
+    base = Config(levels_num=1, base_diameter=16, optimizer="lbfgs")
+    assert (_config_key(cfg, job.level_shapes)
+            != _config_key(base, job.level_shapes))
+
+
 def test_lbfgs_direction_matrix_matches_loop_vmapped():
     """The matrix direction under vmap (the batched ref-semantics serving
     path) equals the loop form per batch row."""
