@@ -80,6 +80,16 @@ BENCH_CONFIGS = {
     "lbfgs3level1024bf16": dict(levels_num=3, base_diameter=256,
                                 optimizer="lbfgs", _steps=150,
                                 compute_dtype="bfloat16"),
+    # r4: quasi-Newton opening trial (lbfgs_t_init='unit') on the
+    # eval-bound full-Wolfe path — 2.13 -> 1.12 line-search evals/step at
+    # 512px bf16 with near-identical 100-step loss
+    # (scripts/exp_lbfgs_evals.py; PARITY.md)
+    "lbfgs2level512unitbf16": dict(levels_num=2, base_diameter=256,
+                                   optimizer="lbfgs", lbfgs_t_init="unit",
+                                   compute_dtype="bfloat16"),
+    "lbfgs3level1024unitbf16": dict(levels_num=3, base_diameter=256,
+                                    optimizer="lbfgs", lbfgs_t_init="unit",
+                                    compute_dtype="bfloat16", _steps=150),
     # the reference's "maximum quality/resolution" combination (its
     # default optimizer at levels_num=4, reference config.py:9,12):
     # history=10 keeps the L-BFGS pair buffers at ~1.5 GB instead of the

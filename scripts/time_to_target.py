@@ -65,6 +65,13 @@ def candidates(cfg: Config):
             prod, optimizer="lbfgs", lbfgs_max_ls_steps=0)),
         ("lbfgs_full_wolfe", dataclasses.replace(
             prod, optimizer="lbfgs", lbfgs_max_ls_steps=25)),
+        # r4: the quasi-Newton unit opening trial (lbfgs_t_init='unit')
+        # halves line-search evals/step (2.13 -> 1.12 at 512 bf16,
+        # scripts/exp_lbfgs_evals.py); this row asks whether the cheaper
+        # steps still buy reference quality faster by the wall
+        ("lbfgs_full_wolfe_unit", dataclasses.replace(
+            prod, optimizer="lbfgs", lbfgs_max_ls_steps=25,
+            lbfgs_t_init="unit")),
         ("adam", dataclasses.replace(prod, optimizer="adam")),
     ]
 
