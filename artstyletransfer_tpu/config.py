@@ -261,13 +261,26 @@ def reference_equivalent_steps(config: Config, reference_iters: int) -> int:
 
 
 def production_config(base: Config | None = None) -> Config:
-    """Resolve a config to the platform's production precision.
+    """Resolve a config to the platform's production settings.
 
     On TPU backends this switches compute_dtype float32 -> bfloat16 (a
-    config that already asks for a non-default dtype is left alone); on
-    CPU/GPU it is the identity. The frontends and the benchmark use this
-    as the deployment default; pass an explicit --compute-dtype float32
-    to opt out.
+    config that already asks for a non-default dtype is left alone) and
+    opens the full-Wolfe L-BFGS line search at the quasi-Newton unit
+    trial (lbfgs_t_init 'lr' -> 'unit'; r4 study below); on CPU/GPU it
+    is the identity. The frontends and the benchmark use this as the
+    deployment default; pass an explicit --compute-dtype float32 /
+    --lbfgs-t-init lr to opt out.
+
+    Why the unit opening trial is the TPU production default (r4,
+    scripts/exp_lbfgs_evals.py + bench, v5e-1): the full-Wolfe path is
+    eval-bound, and torch's t=lr opening (10.0 x 0.999-decay) sits far
+    from the quasi-Newton natural step, so the search re-brackets almost
+    every iteration — 2.13 line-search evals/step at 512px bf16 against
+    1.12 with the unit trial. End-to-end: 19.4 -> 33.8 steps/s at 512px,
+    5.7 -> 10.1 at 1024px (+74-78%) at matched-or-better loss (the
+    time-to-target harness measured a LOWER 10-step loss, PARITY.md).
+    The flip never touches reference-semantics runs (lbfgs_max_ls_steps=
+    0 keeps torch's exact opening rule — there the trial IS the step).
 
     History note: rounds 1-2 kept full-Wolfe L-BFGS on f32 (bf16 measured
     ~13% slower at 512px) — that was an artifact of the loop-form
@@ -289,14 +302,17 @@ def production_config(base: Config | None = None) -> Config:
     CUDA image runs TF32-reduced convolutions by default.
     """
     cfg = base if base is not None else Config()
-    if cfg.compute_dtype != "float32":
-        return cfg
     try:
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # jax unavailable/uninitializable: keep f32
+    except Exception:  # jax unavailable/uninitializable: keep defaults
         on_tpu = False
-    if on_tpu:
+    if not on_tpu:
+        return cfg
+    if cfg.compute_dtype == "float32":  # a non-default dtype is left alone
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    if (cfg.optimizer == "lbfgs" and cfg.lbfgs_max_ls_steps > 0
+            and cfg.lbfgs_t_init == "lr"):  # 'lr' = the parity default
+        cfg = dataclasses.replace(cfg, lbfgs_t_init="unit")
     return cfg

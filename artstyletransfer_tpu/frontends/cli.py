@@ -196,12 +196,16 @@ def config_from_args(args: argparse.Namespace) -> Config:
         if val is not None:
             overrides[field] = val
     cfg = dataclasses.replace(cfg, **overrides)
-    if args.compute_dtype is None:
-        # no explicit dtype: run the platform's production precision
-        # (bfloat16 on TPU; see config.production_config for the study)
-        from ..config import production_config
+    # Resolve the platform's production settings (bfloat16 + the unit
+    # line-search opening on TPU; see config.production_config for the
+    # studies), then re-apply any production-managed field the user set
+    # explicitly — an explicit --compute-dtype float32 / --lbfgs-t-init lr
+    # opts out even on TPU.
+    from ..config import production_config
 
-        cfg = production_config(cfg)
+    explicit = {f: overrides[f] for f in ("compute_dtype", "lbfgs_t_init")
+                if f in overrides}
+    cfg = dataclasses.replace(production_config(cfg), **explicit)
     return cfg
 
 

@@ -355,11 +355,11 @@ def main(argv=None) -> int:
                              "request never hits a minutes-long cold "
                              "compile")
     args = parser.parse_args(argv)
-    cfg = PRESETS[args.preset]
+    cfg = production_config(PRESETS[args.preset])
     if args.compute_dtype is not None:
+        # explicit dtype opts out of the precision flip only; the other
+        # production settings (e.g. the unit line-search opening) stand
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
-    else:
-        cfg = production_config(cfg)
     pairs = (CONTENT_STYLE_FILENAME_PAIRS[:args.max_pairs]
              if args.max_pairs else None)
     if args.warmup:

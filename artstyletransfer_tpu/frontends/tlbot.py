@@ -367,12 +367,13 @@ def main(argv=None) -> int:
               "(get one via https://t.me/BotFather)", file=sys.stderr)
         return 1
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+    cfg = production_config(Config())
     if args.compute_dtype is not None:
         import dataclasses
 
-        cfg = dataclasses.replace(Config(), compute_dtype=args.compute_dtype)
-    else:
-        cfg = production_config(Config())
+        # explicit dtype opts out of the precision flip only; the other
+        # production settings (e.g. the unit line-search opening) stand
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     if args.warmup:
         from ..engine.warmup import warmup_serving
 

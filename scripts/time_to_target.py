@@ -58,17 +58,26 @@ def base_config(size: int) -> Config:
 
 
 def candidates(cfg: Config):
-    """(name, config) rows; all at production (bf16) precision."""
+    """(name, config) rows; all at production (bf16) precision.
+
+    Every L-BFGS row pins lbfgs_t_init explicitly: production_config
+    flips 'lr' -> 'unit' on TPU since r4, and these rows are the
+    lr-vs-unit comparison itself (the target row must keep torch's
+    exact opening rule)."""
     prod = production_config(cfg)
     return [
         ("lbfgs_ref_semantics", dataclasses.replace(
-            prod, optimizer="lbfgs", lbfgs_max_ls_steps=0)),
+            prod, optimizer="lbfgs", lbfgs_max_ls_steps=0,
+            lbfgs_t_init="lr")),
         ("lbfgs_full_wolfe", dataclasses.replace(
-            prod, optimizer="lbfgs", lbfgs_max_ls_steps=25)),
+            prod, optimizer="lbfgs", lbfgs_max_ls_steps=25,
+            lbfgs_t_init="lr")),
         # r4: the quasi-Newton unit opening trial (lbfgs_t_init='unit')
         # halves line-search evals/step (2.13 -> 1.12 at 512 bf16,
-        # scripts/exp_lbfgs_evals.py); this row asks whether the cheaper
-        # steps still buy reference quality faster by the wall
+        # scripts/exp_lbfgs_evals.py) — measured at 512/chunk 10: target
+        # reached in <=10 steps like the lr rows, at a LOWER 10-step loss
+        # (3.152e7 vs 3.212e7) and less wall (4.44s vs 4.88s); the
+        # production default since r4 (config.production_config)
         ("lbfgs_full_wolfe_unit", dataclasses.replace(
             prod, optimizer="lbfgs", lbfgs_max_ls_steps=25,
             lbfgs_t_init="unit")),

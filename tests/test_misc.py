@@ -130,14 +130,16 @@ def test_bfloat16_compute_runs_and_tracks_f32(images, vgg_params):
 
 
 def test_production_config_platform_resolution(monkeypatch):
-    """production_config: identity off-TPU, f32->bf16 on TPU, explicit
-    dtypes untouched (the bench/frontends deployment default)."""
+    """production_config: identity off-TPU; on TPU f32->bf16 (explicit
+    dtypes untouched) and full-Wolfe L-BFGS opens the line search at the
+    unit trial (r4) — never reference-semantics (max_ls=0) runs."""
     import jax
 
     from artstyletransfer_tpu.config import production_config
 
-    # test env runs on CPU: identity
+    # test env runs on CPU: identity (dtype AND t_init)
     assert production_config(Config()).compute_dtype == "float32"
+    assert production_config(Config()).lbfgs_t_init == "lr"
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     # every optimizer runs bf16 on TPU since the r3 matrix two-loop
@@ -148,13 +150,25 @@ def test_production_config_platform_resolution(monkeypatch):
     assert production_config(
         Config(optimizer="lbfgs",
                lbfgs_max_ls_steps=0)).compute_dtype == "bfloat16"
-    # a config that explicitly asks for a dtype is left alone
-    explicit = Config(compute_dtype="bfloat16")
-    assert production_config(explicit) is explicit
+    # a config that explicitly asks for a dtype keeps it
+    explicit = Config(compute_dtype="bfloat16", optimizer="adam")
+    assert production_config(explicit).compute_dtype == "bfloat16"
     # non-dtype fields survive the swap
     cfg = production_config(Config(levels_num=3, optimizer="adam"))
     assert cfg.levels_num == 3 and cfg.optimizer == "adam"
     assert cfg.compute_dtype == "bfloat16"
+
+    # r4 unit opening trial: full-Wolfe L-BFGS flips 'lr' -> 'unit' ...
+    assert production_config(Config()).lbfgs_t_init == "unit"  # default cfg
+    assert production_config(
+        Config(compute_dtype="bfloat16")).lbfgs_t_init == "unit"
+    # ... but NEVER reference semantics (max_ls=0: the trial IS the step),
+    # non-lbfgs optimizers, or an explicit t_init choice
+    assert production_config(
+        Config(lbfgs_max_ls_steps=0)).lbfgs_t_init == "lr"
+    assert production_config(Config(optimizer="adam")).lbfgs_t_init == "lr"
+    assert production_config(
+        Config(lbfgs_t_init="unit")).lbfgs_t_init == "unit"
 
 
 def test_cli_compute_dtype_default_is_production(monkeypatch):
@@ -177,6 +191,25 @@ def test_cli_compute_dtype_default_is_production(monkeypatch):
     args = parser.parse_args(["--content", "c", "--style", "s",
                               "--output", "o"])
     assert config_from_args(args).compute_dtype == "bfloat16"
+
+
+def test_cli_lbfgs_t_init_default_is_production(monkeypatch):
+    """No --lbfgs-t-init flag -> the unit opening trial on TPU (r4
+    production default for full-Wolfe L-BFGS); an explicit 'lr' opts out
+    even on TPU (torch's opening rule); ref-semantics runs never flip."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    parser = build_parser()
+    base = ["--content", "c", "--style", "s", "--output", "o"]
+    assert config_from_args(parser.parse_args(base)).lbfgs_t_init == "unit"
+    assert config_from_args(parser.parse_args(
+        base + ["--lbfgs-t-init", "lr"])).lbfgs_t_init == "lr"
+    assert config_from_args(parser.parse_args(
+        base + ["--lbfgs-max-ls-steps", "0"])).lbfgs_t_init == "lr"
+    # an explicit dtype must not disable the t_init production flip
+    assert config_from_args(parser.parse_args(
+        base + ["--compute-dtype", "float32"])).lbfgs_t_init == "unit"
 
 
 def test_cli_fused_style_bwd_flag():
