@@ -451,21 +451,28 @@ def canonicalize_style(style: np.ndarray, cfg: Config) -> np.ndarray:
 def resolve_batch_policy(cfg: Config, batch_policy: str = "auto") -> str:
     """Resolve 'auto' to 'batched' | 'sequential' for a job queue.
 
-    Measured policy (PARITY.md): vmapping FULL-WOLFE L-BFGS is a ~2x LOSS —
-    the vmapped bracket/zoom while_loops run in lockstep at the max
-    line-search length across jobs (6.6 job-steps/s batched vs ~14
-    sequential at 2level512, and torch-default history at batch 8 blows
-    HBM) — while Adam and reference-semantics L-BFGS (max_ls=0, fixed-length
-    search) gain 3-8x from batching. The reference encodes its scheduling
-    guidance in code the same way (reference config.py:1: concurrency
-    "1 if the levels_num > 2"); 'auto' encodes ours.
+    Measured policy (PARITY.md): vmapping FULL-WOLFE L-BFGS at torch's
+    t=lr opening is a ~2x LOSS — the vmapped bracket/zoom while_loops run
+    in lockstep at the max line-search length across jobs (6.6
+    job-steps/s batched vs ~14 sequential at 2level512, and torch-default
+    history at batch 8 blows HBM) — while Adam and reference-semantics
+    L-BFGS (max_ls=0, fixed-length search) gain 3-8x from batching. r4:
+    the unit opening trial (lbfgs_t_init='unit', the TPU production
+    default) removes the lockstep tax — most jobs accept the first trial
+    every step, so the max search length across the batch collapses to
+    ~1: measured 50.1 job-steps/s vmapped at batch 8 vs the 33.8
+    sequential single-job ceiling (bench row batch8x2level512lbfgsunit)
+    — so unit-mode full-Wolfe queues vmap. The reference encodes its
+    scheduling guidance in code the same way (reference config.py:1:
+    concurrency "1 if the levels_num > 2"); 'auto' encodes ours.
     """
     if batch_policy != "auto":
         if batch_policy not in ("batched", "sequential"):
             raise ValueError(f"unknown batch_policy {batch_policy!r}; "
                              "expected 'auto', 'batched' or 'sequential'")
         return batch_policy
-    if cfg.optimizer == "lbfgs" and cfg.lbfgs_max_ls_steps > 0:
+    if (cfg.optimizer == "lbfgs" and cfg.lbfgs_max_ls_steps > 0
+            and cfg.lbfgs_t_init != "unit"):
         return "sequential"
     return "batched"
 
@@ -580,10 +587,12 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     becomes a handful of sharded batches instead of 10 serialized rounds.
 
     batch_policy ('auto' default) encodes the measured optimizer routing
-    (see resolve_batch_policy): 'auto' vmaps Adam and reference-semantics
-    L-BFGS queues but runs FULL-WOLFE L-BFGS jobs one at a time (vmapping
-    them is a measured ~2x loss — lockstep line-search while_loops).
-    'batched'/'sequential' override explicitly.
+    (see resolve_batch_policy): 'auto' vmaps Adam, reference-semantics
+    L-BFGS, and unit-opening full-Wolfe (the r4 TPU production default —
+    its first trial is accepted most steps, so the batch never pays a
+    lockstep search) but runs lr-opening FULL-WOLFE jobs one at a time
+    (vmapping those is a measured ~2x loss — lockstep line-search
+    while_loops). 'batched'/'sequential' override explicitly.
 
     Oversized buckets are split into sub-batches of max_batch jobs
     (default: the HBM-aware cap from max_jobs_per_batch — L-BFGS history

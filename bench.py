@@ -101,6 +101,12 @@ BENCH_CONFIGS = {
                           optimizer="lbfgs", lbfgs_history=10,
                           compute_dtype="bfloat16", _chunk=10,
                           _steps=100),
+    # ...at the r4 production default (unit opening trial)
+    "lbfgs4level2kunit": dict(levels_num=4, base_diameter=256,
+                              optimizer="lbfgs", lbfgs_history=10,
+                              lbfgs_t_init="unit",
+                              compute_dtype="bfloat16", _chunk=10,
+                              _steps=100),
     # batched multi-job throughput (vmapped batch of 8 identical-shape
     # jobs on one chip); reported in job-steps/sec
     "batch8x1level256": dict(levels_num=1, base_diameter=256, _batch=8),
@@ -113,6 +119,17 @@ BENCH_CONFIGS = {
     "batch8x2level512lbfgs": dict(levels_num=2, base_diameter=256,
                                   optimizer="lbfgs", lbfgs_history=10,
                                   _batch=8, _chunk=10, _steps=100),
+    # r4: vmapped full-Wolfe at the unit opening trial. The lockstep tax
+    # is paid at the MAX line-search length across the batch each step;
+    # with most steps accepting the first trial (1.12 evals/step single-
+    # job) it collapses: measured 50.1 job-steps/s vs the 33.8 sequential
+    # single-job ceiling and lr-mode's 6.6 vmapped — so the 'auto' policy
+    # vmaps unit-mode full-Wolfe queues (resolve_batch_policy)
+    "batch8x2level512lbfgsunit": dict(levels_num=2, base_diameter=256,
+                                      optimizer="lbfgs", lbfgs_history=10,
+                                      lbfgs_t_init="unit",
+                                      compute_dtype="bfloat16",
+                                      _batch=8, _chunk=10, _steps=100),
     # the batched L-BFGS path run_job_queue's 'auto' policy actually
     # vmaps: exact reference semantics (max_ls=0, fixed-length search —
     # no lockstep tax) with the vmapped matrix two-loop direction

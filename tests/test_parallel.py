@@ -340,13 +340,17 @@ def test_warmup_compiles_buckets(vgg_params):
 
 
 def test_batch_policy_routing():
-    """'auto' encodes the measured routing: full-Wolfe L-BFGS (the
-    production default!) runs sequentially, everything else vmaps."""
+    """'auto' encodes the measured routing: lr-opening full-Wolfe L-BFGS
+    runs sequentially (lockstep line-search tax); unit-opening full-Wolfe
+    (the r4 TPU production default), Adam, and ref-semantics vmap."""
     from artstyletransfer_tpu.parallel import resolve_batch_policy
 
     assert resolve_batch_policy(Config()) == "sequential"  # lbfgs, max_ls=25
     assert resolve_batch_policy(Config(optimizer="adam")) == "batched"
     assert resolve_batch_policy(Config(lbfgs_max_ls_steps=0)) == "batched"
+    # r4: the unit opening trial collapses the batch's lockstep search
+    # length to ~1 — measured 50.1 vmapped vs 33.8 sequential job-steps/s
+    assert resolve_batch_policy(Config(lbfgs_t_init="unit")) == "batched"
     # explicit overrides win
     assert resolve_batch_policy(Config(), "batched") == "batched"
     assert resolve_batch_policy(Config(optimizer="adam"),
