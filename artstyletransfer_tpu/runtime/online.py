@@ -16,8 +16,9 @@ Scheduling semantics:
   requests) forms the next dispatch round; tasks arriving while a batch
   is optimizing accumulate for the following round.
 - Each round runs through `parallel.run_job_queue`, so the measured
-  batching policy applies unchanged: 'auto' vmaps Adam/ref-semantics
-  L-BFGS buckets and runs full-Wolfe L-BFGS jobs sequentially
+  batching policy applies unchanged: 'auto' vmaps Adam, ref-semantics
+  L-BFGS, and unit-opening full-Wolfe buckets (the r4 production
+  default) and runs lr-opening full-Wolfe jobs sequentially
   (resolve_batch_policy), buckets split HBM-aware (max_jobs_per_batch),
   and a poisoned bucket fails in isolation.
 - The API is a drop-in for runtime.executor.Executor (add_task /

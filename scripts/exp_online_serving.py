@@ -98,11 +98,17 @@ def main():
                          " this host's tunnel (CLAUDE.md) — this flag "
                          "removes that equal-on-both-sides tunnel artifact"
                          " from the serving comparison")
+    ap.add_argument("--optimizer", choices=["adam", "lbfgs"],
+                    default="adam",
+                    help="lbfgs = the production default optimizer "
+                         "(full-Wolfe + unit opening trial via "
+                         "production_config; since the r4 policy change "
+                         "the online executor vmaps these rounds too)")
     args = ap.parse_args()
     stream_images = not args.no_images
 
     cfg = production_config(Config(
-        levels_num=1, optimizer="adam", iters_num=args.iters,
+        levels_num=1, optimizer=args.optimizer, iters_num=args.iters,
         stream_every=args.stream_every, base_diameter=args.base_diameter))
     params = load_vgg19_params(seed=cfg.seed)
     pairs = make_pairs(args.jobs, cfg)
@@ -148,7 +154,8 @@ def main():
     out = {
         "jobs": args.jobs, "iters": args.iters,
         "stream_images": stream_images,
-        "config": f"1level{args.base_diameter}_adam_{cfg.compute_dtype}",
+        "config": (f"1level{args.base_diameter}_{args.optimizer}_"
+                   f"{cfg.compute_dtype}"),
         "semaphore_wall_s": round(wall_sem, 2),
         "semaphore_job_steps_per_s": round(total_steps / wall_sem, 2),
         "online_wall_s": round(wall_onl, 2),
