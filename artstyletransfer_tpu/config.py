@@ -90,6 +90,19 @@ class Config:
                                         # strong-Wolfe guarantees, not
                                         # torch's trajectory). See
                                         # engine/lbfgs.py::lbfgs_step.
+    lbfgs_grams: str = "recompute"      # matrix direction's S Yᵀ / Y Yᵀ
+                                        # Gram matrices: 'recompute' every
+                                        # step (4·m²·n FLOPs, bitwise the
+                                        # r3 behavior) | 'incremental'
+                                        # (carry the (m, m) Grams in the
+                                        # optimizer state, refresh the one
+                                        # row+column a step can change via
+                                        # three GEMVs — same matrices up
+                                        # to dot-order ulps, no drift; the
+                                        # win scales with history². Only
+                                        # meaningful with
+                                        # lbfgs_direction='matrix'.) See
+                                        # engine/lbfgs.py::_update_grams.
 
     # --- TPU-native knobs (no reference counterpart) ---
     base_diameter: int = 256            # level-0 shortest side

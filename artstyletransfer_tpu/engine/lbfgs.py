@@ -34,7 +34,7 @@ allocation.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,15 +55,29 @@ class LbfgsState(NamedTuple):
     g: jax.Array        # (n,)   gradient at the current point
     n_evals: jax.Array  # int32  cumulative loss/grad evaluations
     n_iter: jax.Array   # int32  completed lbfgs_step calls (torch n_iter)
+    # Carried Gram matrices for the matrix-form direction
+    # (config.lbfgs_grams='incremental'): S Yᵀ and Y Yᵀ, (m, m), refreshed
+    # one row+column per accepted step instead of recomputed at 4·m²·n
+    # FLOPs. None (no pytree leaves — old checkpoints keep their
+    # structure) in the default 'recompute' mode.
+    sy_gram: Optional[jax.Array] = None
+    yy_gram: Optional[jax.Array] = None
 
 
 LossGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-def init_state(loss_grad: LossGradFn, x: jax.Array, history: int) -> LbfgsState:
-    """Initial state; performs the first loss/grad evaluation."""
+def init_state(loss_grad: LossGradFn, x: jax.Array, history: int,
+               track_grams: bool = False) -> LbfgsState:
+    """Initial state; performs the first loss/grad evaluation.
+
+    track_grams: carry the (m, m) S Yᵀ / Y Yᵀ Gram matrices in the state
+    (zeros-initialized — every entry is masked by the validity of its
+    history rows until the rows are stored) for the incremental
+    matrix-direction mode."""
     f, g = loss_grad(x)
     n = x.shape[0]
+    grams = jnp.zeros((history, history), x.dtype) if track_grams else None
     return LbfgsState(
         s_hist=jnp.zeros((history, n), x.dtype),
         y_hist=jnp.zeros((history, n), x.dtype),
@@ -73,6 +87,8 @@ def init_state(loss_grad: LossGradFn, x: jax.Array, history: int) -> LbfgsState:
         g=g,
         n_evals=jnp.int32(1),
         n_iter=jnp.int32(0),
+        sy_gram=grams,
+        yy_gram=grams,
     )
 
 
@@ -156,8 +172,14 @@ def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
     # buffers: a concat materializes a fresh multi-GB copy of the history
     # (measured RESOURCE_EXHAUSTED at m=100, n=4.7M on a 16 GB chip);
     # separate contractions stream the buffers without copying them.
-    P = jnp.einsum("mn,kn->mk", S, Y, precision=hi)    # S Yᵀ
-    Q = jnp.einsum("mn,kn->mk", Y, Y, precision=hi)    # Y Yᵀ
+    # In the incremental mode (lbfgs_grams='incremental') the Grams are
+    # carried in the state and refreshed one row+column per step
+    # (_update_grams), skipping the 4·m²·n-FLOP recompute here.
+    if state.sy_gram is not None:
+        P, Q = state.sy_gram, state.yy_gram
+    else:
+        P = jnp.einsum("mn,kn->mk", S, Y, precision=hi)    # S Yᵀ
+        Q = jnp.einsum("mn,kn->mk", Y, Y, precision=hi)    # Y Yᵀ
     A_sy = P[ix][:, ix]                        # (m, m) age-ordered S Yᵀ
     B_yy = Q[ix][:, ix]                        # (m, m) age-ordered Y Yᵀ
     u = jnp.einsum("mn,n->m", S, g, precision=hi)[ix] * valid   # s̃_jᵀ g
@@ -196,6 +218,34 @@ def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
          + jnp.einsum("m,mn->n", coef_s, S, precision=hi)
          + jnp.einsum("m,mn->n", coef_y, Y, precision=hi))
     return -r
+
+
+def _update_grams(sy_gram: jax.Array, yy_gram: jax.Array,
+                  s_hist: jax.Array, y_hist: jax.Array,
+                  s: jax.Array, y: jax.Array, ys: jax.Array,
+                  idx: jax.Array, store: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Refresh row+column idx of the carried Grams P = S Yᵀ, Q = Y Yᵀ
+    after the history update wrote s/y into row idx of the buffers.
+
+    Three (m, n)·(n,) GEMVs (2·3·m·n FLOPs) replace the direction's full
+    4·m²·n-FLOP Gram recompute; every entry remains an exact dot of the
+    CURRENT buffer rows (entries are replaced, never accumulated, so
+    there is no drift across steps), and untouched entries are bitwise
+    unchanged. The diagonal entry P[idx, idx] is set to the step's own
+    `ys` dot so gamma and rho read the identical value. Store-gated like
+    the buffer update itself. precision=HIGHEST for the same reason as
+    the direction's contractions (bf16 MXU truncation of f32 operands).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    p_row = jnp.einsum("n,kn->k", s, y_hist, precision=hi)   # s · y_k
+    p_col = jnp.einsum("mn,n->m", s_hist, y, precision=hi)   # s_m · y
+    q_row = jnp.einsum("n,kn->k", y, y_hist, precision=hi)   # y · y_k
+    new_p = sy_gram.at[idx, :].set(p_row).at[:, idx].set(p_col)
+    new_p = new_p.at[idx, idx].set(ys)
+    new_q = yy_gram.at[idx, :].set(q_row).at[:, idx].set(q_row)
+    return (jnp.where(store, new_p, sy_gram),
+            jnp.where(store, new_q, yy_gram))
 
 
 def _two_loop_direction(g: jax.Array, state: LbfgsState,
@@ -490,9 +540,16 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
                     state.rho)
     count = state.count + store.astype(jnp.int32)
 
+    if state.sy_gram is not None:
+        sy_gram, yy_gram = _update_grams(
+            state.sy_gram, state.yy_gram, s_hist, y_hist, s, y, ys, idx,
+            store)
+    else:
+        sy_gram = yy_gram = None
+
     new_state = LbfgsState(
         s_hist=s_hist, y_hist=y_hist, rho=rho, count=count,
         f=f_new, g=g_new, n_evals=state.n_evals + ls_evals,
-        n_iter=state.n_iter + 1,
+        n_iter=state.n_iter + 1, sy_gram=sy_gram, yy_gram=yy_gram,
     )
     return x_new, new_state

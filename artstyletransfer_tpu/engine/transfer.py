@@ -194,7 +194,7 @@ def _config_key(cfg: Config, level_shapes, space_mesh=None) -> tuple:
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
             cfg.lr_decay_per_eval,
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.lbfgs_direction,
-            cfg.lbfgs_t_init,
+            cfg.lbfgs_t_init, cfg.lbfgs_grams,
             cfg.remat_levels,
             cfg.pool_impl, cfg.use_pallas and _on_tpu(),
             cfg.fused_style_bwd,
@@ -277,9 +277,19 @@ def _build_runners(cfg: Config, level_shapes, warn_hbm: bool = True,
         if warn_hbm:
             warn_lbfgs_hbm(cfg, level_shapes)
 
+        if cfg.lbfgs_grams not in ("recompute", "incremental"):
+            raise ValueError(f"unknown lbfgs_grams {cfg.lbfgs_grams!r}; "
+                             "expected 'recompute' or 'incremental'")
+        # Gram carrying only pays on the matrix direction (the loop form
+        # never builds the Grams); 'incremental' with direction='loop'
+        # would compute GEMV updates nothing reads.
+        track_grams = (cfg.lbfgs_grams == "incremental"
+                       and cfg.lbfgs_direction == "matrix")
+
         def init_fn(params, targets, x):
             lg = partial(loss_grad, params, targets)
-            return lbfgs_mod.init_state(lg, x, cfg.lbfgs_history)
+            return lbfgs_mod.init_state(lg, x, cfg.lbfgs_history,
+                                        track_grams=track_grams)
 
         def one_step(params, targets, x, opt_state, step):
             lg = partial(loss_grad, params, targets)

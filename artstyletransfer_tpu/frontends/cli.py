@@ -106,6 +106,13 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                         "quasi-Newton t=1 once history exists (fewer "
                         "line-search evals, same strong-Wolfe guarantees, "
                         "not torch's trajectory)")
+    p.add_argument("--lbfgs-grams", choices=["recompute", "incremental"],
+                   default=None,
+                   help="matrix direction's Gram matrices: recompute every "
+                        "step (bitwise r3 behavior) or carry them in the "
+                        "optimizer state and refresh one row+column per "
+                        "step (same matrices up to dot-order ulps; wins "
+                        "at large history)")
     p.add_argument("--lr-start", type=float, default=None,
                    help=f"initial learning rate (default {d.lr_start})")
     p.add_argument("--lr-decay", type=float, default=None,
@@ -184,6 +191,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
         "lbfgs_direction": "lbfgs_direction",
         "lbfgs_t_init": "lbfgs_t_init",
+        "lbfgs_grams": "lbfgs_grams",
         "lr_start": "lr_start", "lr_decay": "lr_decay",
         "lr_decay_per_eval": "lr_decay_per_eval",
         "seed": "seed", "demo_normal_noise": "demo_normal_noise",

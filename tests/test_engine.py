@@ -398,6 +398,71 @@ def test_lbfgs_t_init_unit_engine_end_to_end(images, vgg_params):
             != _config_key(base, job.level_shapes))
 
 
+def test_lbfgs_incremental_grams_track_recompute():
+    """lbfgs_grams='incremental' (S Yᵀ / Y Yᵀ carried in the state and
+    refreshed one row+column per step) follows the recompute mode
+    step-for-step through full lbfgs_step trajectories — across empty,
+    partial, and wrapped histories — and the carried Grams always equal
+    the exact Grams of the current buffers."""
+    rng = np.random.default_rng(5)
+    n, m = 16, 4
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    A = a @ a.T + np.eye(n, dtype=np.float32) * 0.5
+    b = rng.standard_normal(n).astype(np.float32)
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def loss_grad(x):
+        return 0.5 * x @ A_j @ x - b_j @ x, A_j @ x - b_j
+
+    x_r = x_i = jnp.zeros(n)
+    st_r = lbfgs_mod.init_state(loss_grad, x_r, history=m)
+    st_i = lbfgs_mod.init_state(loss_grad, x_i, history=m,
+                                track_grams=True)
+    assert st_r.sy_gram is None and st_r.yy_gram is None
+    assert st_i.sy_gram.shape == (m, m)
+
+    for step in range(3 * m + 2):  # runs well past the first wrap
+        x_r, st_r = lbfgs_mod.lbfgs_step(loss_grad, x_r, st_r,
+                                         jnp.float32(1.0))
+        x_i, st_i = lbfgs_mod.lbfgs_step(loss_grad, x_i, st_i,
+                                         jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(x_i), np.asarray(x_r),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"step {step}")
+        # the carried Grams are the from-scratch Grams of the buffers
+        # (unfilled rows are zero in both)
+        sh, yh = np.asarray(st_i.s_hist), np.asarray(st_i.y_hist)
+        np.testing.assert_allclose(np.asarray(st_i.sy_gram), sh @ yh.T,
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(st_i.yy_gram), yh @ yh.T,
+                                   rtol=1e-5, atol=1e-7)
+    assert int(st_i.count) > m  # the wrap actually happened
+
+
+def test_lbfgs_grams_engine_end_to_end(images, vgg_params):
+    """config.lbfgs_grams='incremental' through the full engine: runs,
+    reduces the loss, and compiles as a distinct graph (separate cache
+    key); unknown values fail loudly."""
+    import dataclasses
+
+    from artstyletransfer_tpu.engine.transfer import _config_key
+
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=6, base_diameter=16,
+                 optimizer="lbfgs", stream_every=6, lbfgs_history=4,
+                 lbfgs_grams="incremental")
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    start = job.initial_loss()
+    final = [f for _, _, f in job.run()][-1]
+    assert final < start
+    base = dataclasses.replace(cfg, lbfgs_grams="recompute")
+    assert (_config_key(cfg, job.level_shapes)
+            != _config_key(base, job.level_shapes))
+    bad = dataclasses.replace(cfg, lbfgs_grams="nope")
+    with pytest.raises(ValueError, match="lbfgs_grams"):
+        TransferJob(content, style, bad, params=vgg_params).initial_loss()
+
+
 def test_lbfgs_direction_matrix_matches_loop_vmapped():
     """The matrix direction under vmap (the batched ref-semantics serving
     path) equals the loop form per batch row."""
