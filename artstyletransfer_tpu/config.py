@@ -328,4 +328,17 @@ def production_config(base: Config | None = None) -> Config:
     if (cfg.optimizer == "lbfgs" and cfg.lbfgs_max_ls_steps > 0
             and cfg.lbfgs_t_init == "lr"):  # 'lr' = the parity default
         cfg = dataclasses.replace(cfg, lbfgs_t_init="unit")
+    if (cfg.optimizer == "lbfgs" and cfg.lbfgs_direction == "matrix"
+            and cfg.lbfgs_grams == "recompute"):
+        # r4: carry the matrix direction's S Yᵀ / Y Yᵀ Grams in the
+        # optimizer state and refresh one row+column per step instead of
+        # the 4·m²·n-FLOP recompute. Same matrices up to dot-order ulps
+        # (pinned step-for-step by tests). Decisive probe
+        # (scripts/exp_gramupd.py, 1000-iter differential, h=100,
+        # n=4.7M): direction+update 26.2 -> 12.7 ms; end-to-end bench
+        # A/B at the default-optimizer headline (lbfgs3level1024, unit
+        # trial, bf16): 10.16 -> 10.59 steps/s (+4.2%). Applies to
+        # ref-semantics runs too (the direction is line-search
+        # independent); an explicit --lbfgs-grams recompute opts out.
+        cfg = dataclasses.replace(cfg, lbfgs_grams="incremental")
     return cfg

@@ -211,7 +211,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     # opts out even on TPU.
     from ..config import production_config
 
-    explicit = {f: overrides[f] for f in ("compute_dtype", "lbfgs_t_init")
+    explicit = {f: overrides[f]
+                for f in ("compute_dtype", "lbfgs_t_init", "lbfgs_grams")
                 if f in overrides}
     cfg = dataclasses.replace(production_config(cfg), **explicit)
     return cfg

@@ -87,9 +87,22 @@ BENCH_CONFIGS = {
     "lbfgs2level512unitbf16": dict(levels_num=2, base_diameter=256,
                                    optimizer="lbfgs", lbfgs_t_init="unit",
                                    compute_dtype="bfloat16"),
+    "lbfgs2level512unitgrams": dict(levels_num=2, base_diameter=256,
+                                    optimizer="lbfgs", lbfgs_t_init="unit",
+                                    lbfgs_grams="incremental",
+                                    compute_dtype="bfloat16"),
     "lbfgs3level1024unitbf16": dict(levels_num=3, base_diameter=256,
                                     optimizer="lbfgs", lbfgs_t_init="unit",
                                     compute_dtype="bfloat16", _steps=150),
+    # r4: carried Grams (lbfgs_grams='incremental') — the decisive
+    # 100/1100-trip probe (scripts/exp_gramupd.py) measured the h=100
+    # direction+update at 26.2 ms recompute vs 12.7 incremental; this is
+    # the end-to-end confirmation config
+    "lbfgs3level1024unitgrams": dict(levels_num=3, base_diameter=256,
+                                     optimizer="lbfgs",
+                                     lbfgs_t_init="unit",
+                                     lbfgs_grams="incremental",
+                                     compute_dtype="bfloat16", _steps=150),
     # the reference's "maximum quality/resolution" combination (its
     # default optimizer at levels_num=4, reference config.py:9,12):
     # history=10 keeps the L-BFGS pair buffers at ~1.5 GB instead of the
@@ -130,6 +143,23 @@ BENCH_CONFIGS = {
                                       lbfgs_t_init="unit",
                                       compute_dtype="bfloat16",
                                       _batch=8, _chunk=10, _steps=100),
+    # r4: the PRODUCT vmapped shape — the lab demo's auto-policy rounds
+    # run the full torch-parity history=100 (per-job pairs ~0.94 GB at
+    # 512px: 4 jobs fit comfortably under the 8 GB budget), where the
+    # per-job Gram recompute is 59 GFLOP/step. The grams variant is the
+    # carried-Grams A/B at exactly this shape.
+    "batch4x2level512lbfgsunith100": dict(levels_num=2, base_diameter=256,
+                                          optimizer="lbfgs",
+                                          lbfgs_t_init="unit",
+                                          compute_dtype="bfloat16",
+                                          _batch=4, _chunk=10, _steps=100),
+    "batch4x2level512lbfgsunitgrams": dict(levels_num=2, base_diameter=256,
+                                           optimizer="lbfgs",
+                                           lbfgs_t_init="unit",
+                                           lbfgs_grams="incremental",
+                                           compute_dtype="bfloat16",
+                                           _batch=4, _chunk=10,
+                                           _steps=100),
     # the batched L-BFGS path run_job_queue's 'auto' policy actually
     # vmaps: exact reference semantics (max_ls=0, fixed-length search —
     # no lockstep tax) with the vmapped matrix two-loop direction

@@ -65,7 +65,11 @@ def sync(out):
     float(np.asarray(leaf).ravel()[0])
 
 
-def time_loop(name, body, carry0, n_lo=N_LO, n_hi=N_HI):
+def time_loop(name, body, carry0, n_lo=None, n_hi=None):
+    # read the globals at CALL time — default-arg binding would freeze
+    # the module constants and silently ignore the CLI trip-count override
+    n_lo = N_LO if n_lo is None else n_lo
+    n_hi = N_HI if n_hi is None else n_hi
     def run(c, n):
         return lax.fori_loop(0, n, lambda i, cc: body(cc), c)
 

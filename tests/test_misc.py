@@ -137,9 +137,10 @@ def test_production_config_platform_resolution(monkeypatch):
 
     from artstyletransfer_tpu.config import production_config
 
-    # test env runs on CPU: identity (dtype AND t_init)
+    # test env runs on CPU: identity (dtype, t_init, AND grams)
     assert production_config(Config()).compute_dtype == "float32"
     assert production_config(Config()).lbfgs_t_init == "lr"
+    assert production_config(Config()).lbfgs_grams == "recompute"
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     # every optimizer runs bf16 on TPU since the r3 matrix two-loop
@@ -169,6 +170,17 @@ def test_production_config_platform_resolution(monkeypatch):
     assert production_config(Config(optimizer="adam")).lbfgs_t_init == "lr"
     assert production_config(
         Config(lbfgs_t_init="unit")).lbfgs_t_init == "unit"
+
+    # r4 carried Grams: matrix-direction L-BFGS flips 'recompute' ->
+    # 'incremental' on TPU (incl. ref-semantics runs — the direction is
+    # line-search independent); never the loop direction or non-lbfgs
+    assert production_config(Config()).lbfgs_grams == "incremental"
+    assert production_config(
+        Config(lbfgs_max_ls_steps=0)).lbfgs_grams == "incremental"
+    assert production_config(
+        Config(lbfgs_direction="loop")).lbfgs_grams == "recompute"
+    assert production_config(
+        Config(optimizer="adam")).lbfgs_grams == "recompute"
 
 
 def test_cli_compute_dtype_default_is_production(monkeypatch):
@@ -210,6 +222,26 @@ def test_cli_lbfgs_t_init_default_is_production(monkeypatch):
     # an explicit dtype must not disable the t_init production flip
     assert config_from_args(parser.parse_args(
         base + ["--compute-dtype", "float32"])).lbfgs_t_init == "unit"
+
+
+def test_cli_lbfgs_grams_default_is_production(monkeypatch):
+    """No --lbfgs-grams flag -> carried Grams on TPU (r4 production
+    default for the matrix direction, incl. ref-semantics runs); an
+    explicit 'recompute' opts out even on TPU; the loop direction never
+    flips (it has no Grams to carry)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    parser = build_parser()
+    base = ["--content", "c", "--style", "s", "--output", "o"]
+    assert (config_from_args(parser.parse_args(base)).lbfgs_grams
+            == "incremental")
+    assert config_from_args(parser.parse_args(
+        base + ["--lbfgs-grams", "recompute"])).lbfgs_grams == "recompute"
+    assert config_from_args(parser.parse_args(
+        base + ["--lbfgs-max-ls-steps", "0"])).lbfgs_grams == "incremental"
+    assert config_from_args(parser.parse_args(
+        base + ["--lbfgs-direction", "loop"])).lbfgs_grams == "recompute"
 
 
 def test_cli_fused_style_bwd_flag():

@@ -72,12 +72,14 @@ def test_batched_jobs_space_mesh_lbfgs(jobs_data, vgg_params):
 
     Deliberately minimal (1 step, 2 jobs, 2x2 mesh, history 2): the
     vmapped strong-Wolfe while-loop under SPMD is the most expensive graph
-    in the suite to compile.
+    in the suite to compile. Runs the r4 production lbfgs_grams=
+    'incremental' (carried S Yᵀ/Y Yᵀ in the vmapped, sharded state) so
+    the TPU serving combination is what CI compiles.
     """
     contents, styles = jobs_data
     cfg = Config(levels_num=1, iters_num=1, base_diameter=16,
                  optimizer="lbfgs", stream_every=1, lbfgs_history=2,
-                 lbfgs_max_ls_steps=3)
+                 lbfgs_max_ls_steps=3, lbfgs_grams="incremental")
     mesh = jobs_space_mesh(2, 2)
     batch = BatchedTransferJob(contents[:2], styles[:2], cfg,
                                params=vgg_params, mesh=mesh,
