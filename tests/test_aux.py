@@ -49,6 +49,40 @@ def test_checkpoint_resume_exact(images, vgg_params, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_checkpoint_resume_exact_lbfgs_incremental_grams(images, vgg_params,
+                                                         tmp_path):
+    """The r4 TPU production default (matrix L-BFGS + carried Grams)
+    checkpoints two extra LbfgsState leaves (sy_gram/yy_gram); resume
+    must continue bit-exactly through them."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=8, base_diameter=16,
+                 optimizer="lbfgs", lbfgs_history=4,
+                 lbfgs_grams="incremental", stream_every=4)
+    ckpt = str(tmp_path / "job.npz")
+
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    full = [(d, img.copy(), f) for d, img, f in job.run()]
+
+    job2 = TransferJob(content, style, cfg, params=vgg_params)
+    half = list(job2.run(iters_num=4, checkpoint_path=ckpt,
+                         checkpoint_every=4))
+    assert half[-1][0] == 4
+
+    job3 = TransferJob(content, style, cfg, params=vgg_params)
+    resumed = list(job3.run(iters_num=8, checkpoint_path=ckpt,
+                            checkpoint_every=100, resume=True))
+    assert resumed[-1][0] == 8
+    np.testing.assert_array_equal(resumed[-1][1], full[-1][1])
+    np.testing.assert_array_equal(resumed[-1][2], full[-1][2])
+
+    # and a grams-mode checkpoint cannot silently resume a recompute run
+    cfg_re = dataclasses.replace(cfg, lbfgs_grams="recompute")
+    other = TransferJob(content, style, cfg_re, params=vgg_params)
+    with pytest.raises(ValueError, match="config"):
+        list(other.run(checkpoint_path=ckpt, checkpoint_every=100,
+                       resume=True))
+
+
 def test_checkpoint_wrong_shape_rejected(images, vgg_params, tmp_path):
     content, style = images
     cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
