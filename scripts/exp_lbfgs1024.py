@@ -247,26 +247,38 @@ def main(argv):
         "step_bf16h10": dict(compute_dtype="bfloat16", history=10,
                              impl="matrix"),
         "step_ref": dict(max_ls=0, impl="matrix"),
+        # the r4 TPU production combo (unit opening trial + carried
+        # Grams) and its recompute control — the same two graphs the
+        # lbfgs3level1024unit{grams,bf16} bench configs run end-to-end
+        "step_prod": dict(compute_dtype="bfloat16", impl="matrix",
+                          t_init="unit", grams=True),
+        "step_produnit": dict(compute_dtype="bfloat16", impl="matrix",
+                              t_init="unit"),
     }
     for name, kw in step_variants.items():
         if name not in want:
             continue
         kw = dict(kw)
         impl = kw.pop("impl", "loop")
+        t_init = kw.pop("t_init", "lr")
+        grams = kw.pop("grams", False)
         cfg_v, lg, params_v, targets_v, x0v = setup(**kw)
         lr = jnp.float32(cfg_v.lr_start)
         max_ls = cfg_v.lbfgs_max_ls_steps
 
-        def body(carry, lg=lg, lr=lr, max_ls=max_ls, impl=impl):
+        def body(carry, lg=lg, lr=lr, max_ls=max_ls, impl=impl,
+                 t_init=t_init):
             params, targets, x, st = carry
             x, st = L.lbfgs_step(partial(lg, params, targets), x, st, lr,
-                                 max_ls_steps=max_ls, direction_impl=impl)
+                                 max_ls_steps=max_ls, direction_impl=impl,
+                                 t_init=t_init)
             return (params, targets, x, st)
 
         st0 = jax.jit(
-            lambda p, t, x, h: L.init_state(partial(lg, p, t), x, h),
-            static_argnums=3)(params_v, targets_v, x0v,
-                              cfg_v.lbfgs_history)
+            lambda p, t, x, h, tg: L.init_state(partial(lg, p, t), x, h,
+                                                track_grams=tg),
+            static_argnums=(3, 4))(params_v, targets_v, x0v,
+                                   cfg_v.lbfgs_history, grams)
         ms, out_hi = time_loop(name, body,
                                (params_v, targets_v, x0v, st0))
         results[f"{name}_ms"] = ms
