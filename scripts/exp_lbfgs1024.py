@@ -69,8 +69,14 @@ def sync(out):
     float(np.asarray(leaf).ravel()[0])
 
 
-def time_loop(name, body, carry0, n_lo=N_LO, n_hi=N_HI):
-    """body(carry) -> carry. Differential ms per iteration."""
+def time_loop(name, body, carry0, n_lo=None, n_hi=None):
+    """body(carry) -> carry. Differential ms per iteration.
+
+    Reads the trip-count globals at CALL time (default-arg binding would
+    freeze them at def time and silently ignore a --trips override —
+    the exp_gramupd.py bug class)."""
+    n_lo = N_LO if n_lo is None else n_lo
+    n_hi = N_HI if n_hi is None else n_hi
 
     def run(c, n):
         return lax.fori_loop(0, n, lambda i, cc: body(cc), c)
@@ -143,6 +149,12 @@ def full_history(x0, history, key=0):
 
 
 def main(argv):
+    global N_LO, N_HI
+    argv = list(argv)
+    if "--trips" in argv:
+        i = argv.index("--trips")
+        N_LO, N_HI = int(argv[i + 1]), int(argv[i + 2])
+        del argv[i:i + 3]
     want = set(argv) or {"eval", "twoloop", "histupd"}
     results = {}
     dev = jax.devices()[0]
