@@ -7,6 +7,13 @@ not per-eval speed. r4 adds the t_init axis: the 'unit' opening trial
 steps, cutting evals/step on the eval-bound full-Wolfe path.
 
 Usage: exp_lbfgs_evals.py [steps] [dtype1,dtype2] [t_init1,t_init2]
+                          [--per-chunk N]
+
+--per-chunk N additionally reports evals/step for every N-step segment
+of the run (one device sync per segment): the r4 8-job serving runs
+showed per-chunk wall ~4x higher over steps 250-500 than 0-250, and the
+segment profile separates "searches get longer near convergence"
+(which a smarter opening trial could fix) from a constant rate.
 """
 import sys
 import time
@@ -25,11 +32,16 @@ STYLE = "/root/reference/data/style-images/cubism2.jpg"
 
 
 def main():
+    argv = list(sys.argv[1:])
+    per_chunk = 0
+    if "--per-chunk" in argv:
+        i = argv.index("--per-chunk")
+        per_chunk = int(argv[i + 1])
+        del argv[i:i + 2]
     content, style = load_image(CONTENT), load_image(STYLE)
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    dtypes = (sys.argv[2].split(",") if len(sys.argv) > 2
-              else ["float32", "bfloat16"])
-    t_inits = sys.argv[3].split(",") if len(sys.argv) > 3 else ["lr"]
+    steps = int(argv[0]) if len(argv) > 0 else 100
+    dtypes = argv[1].split(",") if len(argv) > 1 else ["float32", "bfloat16"]
+    t_inits = argv[2].split(",") if len(argv) > 2 else ["lr"]
     for dtype in dtypes:
         for t_init in t_inits:
             cfg = Config(levels_num=2, base_diameter=256, optimizer="lbfgs",
@@ -39,8 +51,24 @@ def main():
             x = jnp.array(job._x0, copy=True)
             opt = runners.init(job.params, job.targets, x)
             t0 = time.perf_counter()
-            x, opt, f = runners.chunk(job.params, job.targets, x, opt,
-                                      jnp.int32(0), steps)
+            if per_chunk:
+                evals_before, done = 0, 0
+                while done < steps:
+                    n = min(per_chunk, steps - done)
+                    tc = time.perf_counter()
+                    x, opt, f = runners.chunk(job.params, job.targets, x,
+                                              opt, jnp.int32(done), n)
+                    evals_now = int(np.asarray(opt.n_evals))  # device sync
+                    wc = time.perf_counter() - tc
+                    seg = evals_now - evals_before
+                    print(f"  steps {done}-{done + n}: {seg} evals "
+                          f"({seg / n:.2f}/step), loss "
+                          f"{float(np.asarray(f)):.4e}, {wc:.1f}s",
+                          flush=True)
+                    evals_before, done = evals_now, done + n
+            else:
+                x, opt, f = runners.chunk(job.params, job.targets, x, opt,
+                                          jnp.int32(0), steps)
             n_evals = int(np.asarray(opt.n_evals))  # also the device sync
             wall = time.perf_counter() - t0
             print(f"{dtype} t_init={t_init}: {steps} steps, {n_evals} evals "
