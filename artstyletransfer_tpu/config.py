@@ -183,6 +183,27 @@ class Config:
                                         # zero per-step cost.
     remat_levels: bool = False          # jax.checkpoint each pyramid level's
                                         # VGG pass (for 4-level / 2K outputs)
+    stop_tol: float = 0.0               # convergence early-stop: end the run
+                                        # once the relative loss change over
+                                        # a chunk falls to <= stop_tol
+                                        # (|f_prev - f| <= stop_tol *
+                                        # max(1, |f|), checked at chunk
+                                        # boundaries on the host). 0 =
+                                        # reference parity (always run
+                                        # iters_num steps — torch's
+                                        # tolerance_change termination is
+                                        # dead at the reference's max_iter=1
+                                        # setting, torch lbfgs.py checks it
+                                        # only within one .step() call).
+                                        # Measured motivation: once the bf16
+                                        # loss surface flattens, full-Wolfe
+                                        # L-BFGS burns ~9 line-search
+                                        # evals/step making ZERO progress
+                                        # (PARITY.md, per-segment eval
+                                        # profile). Host-side control flow
+                                        # only — not part of _config_key; a
+                                        # batched queue stops a group when
+                                        # EVERY job in it has converged.
 
 
 # ---------------------------------------------------------------------------

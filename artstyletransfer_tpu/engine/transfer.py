@@ -427,6 +427,13 @@ class TransferJob:
         per chunk) and stores them in self.last_level_losses — the TPU
         analogue of the reference's per-iteration loss prints (reference
         neural_style_transfer.py:189).
+
+        cfg.stop_tol > 0 ends the run early once the relative loss change
+        over a chunk is <= stop_tol (the final yield then carries the
+        image and a float loss like a normal completion, with steps_done
+        < iters). The reference always runs its full budget — see
+        config.stop_tol for why that burns ~9 no-progress line-search
+        evals/step once a bf16 L-BFGS run converges.
         """
         from .checkpoint import load_checkpoint, save_checkpoint
 
@@ -480,9 +487,16 @@ class TransferJob:
         # report_level_losses re-reads x AFTER the yield, which the next
         # dispatch would have donated — that diagnostics mode stays
         # sequential.
+        # Convergence early-stop (cfg.stop_tol > 0): comparing losses
+        # across chunks needs a per-chunk device sync, so the stop check
+        # runs on the sequential path (lookahead off) — the sync it needs
+        # is the same one lookahead exists to hide, and a run that stops
+        # early more than repays one hidden fetch per chunk.
+        check_stop = cfg.stop_tol > 0.0
         lookahead = (yield_images and cfg.pipeline_streaming
-                     and not report_level_losses)
+                     and not report_level_losses and not check_stop)
         pending = None  # (done, x_fetch, f) dispatched, not yet yielded
+        f_prev = None   # last synced loss, for the stop check
 
         def materialize(done_k, x_fetch, f_k):
             f_k = float(f_k)
@@ -518,7 +532,18 @@ class TransferJob:
                     yield materialize(*pending)
                 pending = (done, x_fetch, f)
                 continue
-            sync = yield_images or done >= iters
+            converged = False
+            if check_stop:
+                # the float() here is the per-chunk sync the stop check
+                # pays for; relative threshold so one tolerance works
+                # across loss scales (reference losses span 1e6-1e9)
+                f = float(f)
+                if (f_prev is not None
+                        and abs(f_prev - f) <= cfg.stop_tol * max(1.0,
+                                                                  abs(f))):
+                    converged = True
+                f_prev = f
+            sync = yield_images or done >= iters or converged
             if sync:
                 # the float() conversion is the device sync point; in
                 # no-image mode intermediate chunks stay fully pipelined
@@ -536,7 +561,7 @@ class TransferJob:
                         f"reference's autograd-anomaly guard tripped")
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
-                         or done >= iters)):
+                         or done >= iters or converged)):
                 save_checkpoint(checkpoint_path, x, opt_state, done,
                                 fingerprint=fp)
                 last_saved = done
@@ -551,6 +576,8 @@ class TransferJob:
             else:
                 img = None
             yield done, img, f
+            if converged:
+                return
         if pending is not None:
             yield materialize(*pending)
 
@@ -620,10 +647,18 @@ async def neural_style_transfer(content_n_style: ContentStylePair,
         except StopIteration:
             return None
 
+    last_percent, last_img = 0.0, None
     while True:
         res = await loop.run_in_executor(None, next_chunk)
         if res is None:
             break
         done, img, _f = res
         percent = done / cfg.iters_num * 100.0
+        last_percent, last_img = percent, img
         yield percent, img
+    if cfg.stop_tol > 0.0 and last_percent < 100.0 and last_img is not None:
+        # convergence early-stop ended the run below the full budget; the
+        # job is COMPLETE, and every consumer (Executor.wait, the lab's
+        # result page, the bot's "Done!") keys completion on percent >=
+        # 100 — re-emit the final image at 100%
+        yield 100.0, last_img

@@ -90,6 +90,13 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                    help="overlap each chunk's progress-image fetch with "
                         "the next chunk's device compute (default on; "
                         "numerically identical)")
+    p.add_argument("--stop-tol", type=float, default=None,
+                   help="convergence early-stop: end the run once the "
+                        "relative loss change over a chunk is <= this "
+                        "(e.g. 1e-4; default 0 = run all iterations like "
+                        "the reference). A converged bf16 L-BFGS run "
+                        "otherwise burns ~9 line-search evals/step making "
+                        "no progress")
     p.add_argument("--lbfgs-history", type=int, default=None,
                    help=f"L-BFGS memory pairs (default {d.lbfgs_history})")
     p.add_argument("--lbfgs-max-ls-steps", type=int, default=None,
@@ -187,6 +194,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "use_pallas": "use_pallas", "remat_levels": "remat_levels",
         "nan_checks": "nan_checks",
         "pipeline_streaming": "pipeline_streaming",
+        "stop_tol": "stop_tol",
         "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
         "lbfgs_direction": "lbfgs_direction",

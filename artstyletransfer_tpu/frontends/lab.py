@@ -340,6 +340,12 @@ def main(argv=None) -> int:
                         default=None,
                         help="conv compute dtype; default: production "
                              "precision for the platform (bfloat16 on TPU)")
+    parser.add_argument("--stop-tol", type=float, default=None,
+                        help="convergence early-stop for every served job: "
+                             "end a run once the relative loss change over "
+                             "a chunk is <= this (e.g. 1e-4; default: run "
+                             "the preset's full iteration budget like the "
+                             "reference)")
     parser.add_argument("--metrics", default=None, metavar="PATH",
                         help="append structured per-progress JSONL metrics "
                              "to PATH")
@@ -360,6 +366,8 @@ def main(argv=None) -> int:
         # explicit dtype opts out of the precision flip only; the other
         # production settings (e.g. the unit line-search opening) stand
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    if args.stop_tol is not None:
+        cfg = dataclasses.replace(cfg, stop_tol=args.stop_tol)
     pairs = (CONTENT_STYLE_FILENAME_PAIRS[:args.max_pairs]
              if args.max_pairs else None)
     if args.warmup:

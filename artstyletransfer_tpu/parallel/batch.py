@@ -316,8 +316,15 @@ class BatchedTransferJob:
         # image fetch + every job's progress hooks overlap the next
         # chunk's compute. x is donated by the next dispatch, so the
         # fetch handle is an on-device copy.
-        lookahead = yield_images and cfg.pipeline_streaming
+        # Convergence early-stop (cfg.stop_tol > 0): the whole group stops
+        # once EVERY job's relative loss change over a chunk is <= tol
+        # (per-job stopping inside one compiled batch would need dynamic
+        # shapes). Needs a per-chunk loss fetch, so lookahead is off —
+        # same trade as TransferJob.run.
+        check_stop = cfg.stop_tol > 0.0
+        lookahead = yield_images and cfg.pipeline_streaming and not check_stop
         pending = None  # (done, x_fetch, f) dispatched, not yet yielded
+        f_prev = None   # (real_batch,) last synced losses, for the stop check
 
         def materialize(done_k, x_fetch, f_k):
             imgs_k = np.asarray(x_fetch).reshape((self.batch,) + top[1:])
@@ -342,9 +349,18 @@ class BatchedTransferJob:
                 self.params, self.targets, x, opt_state,
                 jnp.int32(done), int(k))
             done += k
+            converged = False
+            if check_stop:
+                losses_now = np.asarray(f)[:self.real_batch]
+                if (f_prev is not None
+                        and np.all(np.abs(f_prev - losses_now)
+                                   <= cfg.stop_tol
+                                   * np.maximum(1.0, np.abs(losses_now)))):
+                    converged = True
+                f_prev = losses_now
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
-                         or done >= iters)):
+                         or done >= iters or converged)):
                 # materializes x (a device sync): checkpoint-bearing
                 # chunks simply don't overlap
                 save_checkpoint(checkpoint_path, x, opt_state, done,
@@ -355,10 +371,12 @@ class BatchedTransferJob:
                 if pending is not None:
                     yield materialize(*pending)
                 pending = (done, x_fetch, f)
-            elif yield_images or done >= iters:
+            elif yield_images or done >= iters or converged:
                 yield materialize(done, x, f)
             else:
                 yield done, None, f
+            if converged:
+                return
         if pending is not None:
             yield materialize(*pending)
 
@@ -738,6 +756,13 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
                         raise RuntimeError(
                             f"batch of {len(ids)} job(s) yielded no chunks "
                             f"(iters_num={cfg.iters_num})")
+                    if (progress is not None and cfg.stop_tol > 0.0
+                            and done < cfg.iters_num):
+                        # convergence early-stop ended the group below the
+                        # full budget; consumers key completion on percent
+                        # >= 100 — re-emit the final images at 100%
+                        for i, tid in enumerate(ids):
+                            progress(tid, 100.0, imgs[i], float(losses[i]))
                     for i, tid in enumerate(ids):
                         results[tid] = imgs[i]
                     last_exc = None

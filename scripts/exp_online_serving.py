@@ -104,12 +104,17 @@ def main():
                          "(full-Wolfe + unit opening trial via "
                          "production_config; since the r4 policy change "
                          "the online executor vmaps these rounds too)")
+    ap.add_argument("--stop-tol", type=float, default=0.0,
+                    help="convergence early-stop for BOTH timed paths "
+                         "(config.stop_tol); job-steps/s is then "
+                         "meaningless — compare the wall times")
     args = ap.parse_args()
     stream_images = not args.no_images
 
     cfg = production_config(Config(
         levels_num=1, optimizer=args.optimizer, iters_num=args.iters,
-        stream_every=args.stream_every, base_diameter=args.base_diameter))
+        stream_every=args.stream_every, base_diameter=args.base_diameter,
+        stop_tol=args.stop_tol))
     params = load_vgg19_params(seed=cfg.seed)
     pairs = make_pairs(args.jobs, cfg)
     total_steps = args.jobs * args.iters
@@ -153,6 +158,7 @@ def main():
 
     out = {
         "jobs": args.jobs, "iters": args.iters,
+        "stop_tol": args.stop_tol,
         "stream_images": stream_images,
         "config": (f"1level{args.base_diameter}_{args.optimizer}_"
                    f"{cfg.compute_dtype}"),

@@ -545,3 +545,103 @@ def test_reference_equivalent_steps():
     fw = dataclasses.replace(adam, optimizer="lbfgs")
     with pytest.raises(ValueError):
         reference_equivalent_steps(fw, 500)
+
+
+# ---------------------------------------------------------------------------
+# Convergence early-stop (config.stop_tol)
+# ---------------------------------------------------------------------------
+
+
+def test_stop_tol_early_stops_single_job(tmp_path, images, vgg_params):
+    """stop_tol > 0 ends the run once the loss stops changing across a
+    chunk; the final yield carries the image like a normal completion,
+    and a converged stop writes the checkpoint. lr_start=0 freezes the
+    Adam trajectory, so chunk 2's loss is bitwise chunk 1's — the
+    deterministic stand-in for the measured converged-tail plateau
+    (PARITY: 9 no-progress line-search evals/step after step ~400)."""
+    import dataclasses
+    import os
+
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=5, lr_start=0.0,
+                 stop_tol=1e-6)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    ckpt = str(tmp_path / "early.ckpt")
+    out = list(job.run(checkpoint_path=ckpt, checkpoint_every=100))
+    assert [d for d, _, _ in out] == [5, 10]
+    assert out[-1][1] is not None and out[-1][1].shape[2] == 3
+    assert all(isinstance(f, float) for _, _, f in out)
+    assert os.path.exists(ckpt)  # converged stop persists like completion
+
+    # no-image mode: intermediate chunks stay image-free, the converged
+    # final chunk still materializes
+    out_n = list(TransferJob(content, style, cfg, params=vgg_params)
+                 .run(yield_images=False))
+    assert [d for d, _, _ in out_n] == [5, 10]
+    assert out_n[0][1] is None and out_n[-1][1] is not None
+
+    # default stop_tol=0 = reference parity: the same frozen run still
+    # walks the full budget
+    cfg0 = dataclasses.replace(cfg, stop_tol=0.0)
+    out0 = list(TransferJob(content, style, cfg0, params=vgg_params).run())
+    assert [d for d, _, _ in out0] == [5, 10, 15, 20]
+
+
+def test_stop_tol_keeps_running_while_improving(images, vgg_params):
+    """A still-improving run never trips an (absurdly tight) tolerance."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=15, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=1e-12)
+    out = list(TransferJob(content, style, cfg,
+                           params=vgg_params).run())
+    assert [d for d, _, _ in out] == [5, 10, 15]
+
+
+def test_stop_tol_early_stops_batched(images, vgg_params):
+    """The batched runner stops a group when EVERY job has converged."""
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=5, lr_start=0.0,
+                 stop_tol=1e-6)
+    batch = BatchedTransferJob([content] * 2, [style] * 2, cfg,
+                               params=vgg_params)
+    out = list(batch.run())
+    assert [d for d, _, _ in out] == [5, 10]
+    assert out[-1][1].shape[0] == 2 and out[-1][2].shape == (2,)
+
+
+def test_stop_tol_async_generator_reports_100(images, vgg_params):
+    """The reference-API generator re-emits the final image at percent=100
+    when a run early-stops below the budget (Executor.wait, the lab's
+    result page and the bot's "Done!" all key completion on >= 100)."""
+    import dataclasses
+
+    content, style = images
+    pair = ContentStylePair(("c.jpg", content), ("s.jpg", style))
+    cfg = dataclasses.replace(
+        Config(levels_num=1, iters_num=20, base_diameter=16,
+               optimizer="adam", stream_every=5),
+        lr_start=0.0, stop_tol=1e-6)
+
+    async def collect():
+        out = []
+        async for percent, img in neural_style_transfer(
+                pair, cfg.content_weight, cfg.style_weight, cfg.tv_weight,
+                "adam", "vgg19", "content+noise", iters_num=20,
+                levels_num=1, noise_factor=cfg.noise_factor,
+                noise_levels=cfg.noise_levels,
+                noise_levels_central_amplitude=cfg.noise_levels_central_amplitude,
+                noise_levels_peripheral_amplitude=cfg.noise_levels_peripheral_amplitude,
+                noise_levels_dispersion=cfg.noise_levels_dispersion,
+                params=vgg_params, config=cfg):
+            out.append((percent, img))
+        return out
+
+    out = asyncio.run(collect())
+    # stopped after chunk 2 of 4, then one synthetic completion update
+    assert [p for p, _ in out] == [25.0, 50.0, 100.0]
+    assert out[-1][1] is not None
+    np.testing.assert_array_equal(out[-1][1], out[1][1])

@@ -662,3 +662,24 @@ def test_canonicalize_content_fuzz(rng):
         w = int(rng.integers(16, 220))
         out = canonicalize_content(np.zeros((h, w, 3), np.float32), cfg)
         assert out.shape in buckets, (h, w, out.shape)
+
+
+def test_run_job_queue_stop_tol_reports_completion(jobs_data, vgg_params):
+    """A converged early-stopped group (config.stop_tol) must still report
+    percent=100 for every job — all frontends key completion on it."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=5, lr_start=0.0,
+                 stop_tol=1e-6)
+    jobs = [("a", contents[0], styles[0]), ("b", contents[1], styles[1])]
+    seen = []
+    results, failures = run_job_queue(
+        jobs, cfg, params=vgg_params,
+        progress=lambda tid, pct, img, loss: seen.append((tid, pct, img)))
+    assert set(results) == {"a", "b"} and failures == {}
+    # stopped after chunk 2 of 4 (frozen lr=0 trajectory)...
+    assert max(p for _, p, _ in seen if p < 100.0) == 50.0
+    # ...and each job's LAST report is (100, final image)
+    for tid in ("a", "b"):
+        last = [s for s in seen if s[0] == tid][-1]
+        assert last[1] == 100.0 and last[2] is not None
