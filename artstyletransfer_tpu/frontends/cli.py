@@ -97,6 +97,13 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                         "the reference). A converged bf16 L-BFGS run "
                         "otherwise burns ~9 line-search evals/step making "
                         "no progress")
+    p.add_argument("--stop-shrink", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="with --stop-tol on batched runs: a converged job "
+                        "leaves the batch at the chunk boundary and the "
+                        "rest re-form at the next power-of-two size "
+                        "(default on; group-stop alone waits for the "
+                        "slowest job)")
     p.add_argument("--lbfgs-history", type=int, default=None,
                    help=f"L-BFGS memory pairs (default {d.lbfgs_history})")
     p.add_argument("--lbfgs-max-ls-steps", type=int, default=None,
@@ -195,6 +202,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "nan_checks": "nan_checks",
         "pipeline_streaming": "pipeline_streaming",
         "stop_tol": "stop_tol",
+        "stop_shrink": "stop_shrink",
         "lbfgs_history": "lbfgs_history",
         "lbfgs_max_ls_steps": "lbfgs_max_ls_steps",
         "lbfgs_direction": "lbfgs_direction",

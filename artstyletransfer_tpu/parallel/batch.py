@@ -316,21 +316,52 @@ class BatchedTransferJob:
         # image fetch + every job's progress hooks overlap the next
         # chunk's compute. x is donated by the next dispatch, so the
         # fetch handle is an on-device copy.
-        # Convergence early-stop (cfg.stop_tol > 0): the whole group stops
-        # once EVERY job's relative loss change over a chunk is <= tol
-        # (per-job stopping inside one compiled batch would need dynamic
-        # shapes). Needs a per-chunk loss fetch, so lookahead is off —
-        # same trade as TransferJob.run.
+        # Convergence early-stop (cfg.stop_tol > 0): a job whose relative
+        # loss change over a chunk is <= tol is DONE. With cfg.stop_shrink
+        # (and no checkpointing / multi-device mesh — V1 scope) a done job
+        # leaves the batch at the chunk boundary — its result freezes
+        # there, exactly like a single-job stop — and the remaining jobs
+        # re-form at the next power-of-two batch size (the serving warmup
+        # set; XLA compiles one executable per size, the vmapped jit
+        # itself is size-agnostic). Without shrinking the whole group
+        # stops once EVERY job has converged in the same chunk (the
+        # slowest lane gates — measured -10% wall vs -41% for per-job
+        # scheduling at the 8-job serving shape, PARITY.md). Needs a
+        # per-chunk loss fetch, so lookahead is off — same trade as
+        # TransferJob.run.
         check_stop = cfg.stop_tol > 0.0
         lookahead = yield_images and cfg.pipeline_streaming and not check_stop
         pending = None  # (done, x_fetch, f) dispatched, not yet yielded
-        f_prev = None   # (real_batch,) last synced losses, for the stop check
+        shrink = (check_stop and cfg.stop_shrink and not checkpoint_path
+                  and (self.mesh is None or self.mesh.devices.size == 1))
+        # lane -> original job index; None = padding replica (initial
+        # mesh/pad_batch_to padding, or re-padding after a shrink)
+        lane_orig: List[Optional[int]] = (
+            list(range(self.real_batch))
+            + [None] * (self.batch - self.real_batch))
+        finished: Dict[int, Tuple[np.ndarray, float]] = {}  # orig -> row, loss
+        f_prev: Dict[int, float] = {}  # orig -> last chunk's loss
+        targets = self.targets  # local: shrinking gathers it per-lane
+
+        def compose_losses(f_np):
+            # original-order (real_batch,) losses: live lanes from the
+            # batch, dropped jobs from their frozen value
+            out = np.empty((self.real_batch,), dtype=np.float32)
+            for orig in range(self.real_batch):
+                if orig in finished:
+                    out[orig] = finished[orig][1]
+                else:
+                    out[orig] = f_np[lane_orig.index(orig)]
+            return out
 
         def materialize(done_k, x_fetch, f_k):
-            imgs_k = np.asarray(x_fetch).reshape((self.batch,) + top[1:])
-            imgs_k = np.stack([unprepare_img(im)
-                               for im in imgs_k[:self.real_batch]])
-            losses_k = np.asarray(f_k)[:self.real_batch]
+            rows = np.asarray(x_fetch).reshape((len(lane_orig),) + top[1:])
+            f_np = np.asarray(f_k)
+            imgs_k = np.stack([
+                unprepare_img(finished[orig][0] if orig in finished
+                              else rows[lane_orig.index(orig)])
+                for orig in range(self.real_batch)])
+            losses_k = compose_losses(f_np)
             # same opportunistic guard as TransferJob.run: the losses
             # are already fetched here, so the check is free; it names
             # the offending jobs so a poisoned batch is diagnosable
@@ -346,23 +377,63 @@ class BatchedTransferJob:
         while done < iters:
             k = min(chunk, iters - done)
             x, opt_state, f = self._chunk_fn(
-                self.params, self.targets, x, opt_state,
+                self.params, targets, x, opt_state,
                 jnp.int32(done), int(k))
             done += k
             converged = False
+            f_np = None
             if check_stop:
-                losses_now = np.asarray(f)[:self.real_batch]
-                if (f_prev is not None
-                        and np.all(np.abs(f_prev - losses_now)
-                                   <= cfg.stop_tol
-                                   * np.maximum(1.0, np.abs(losses_now)))):
-                    converged = True
-                f_prev = losses_now
+                f_np = np.asarray(f)
+                newly = []   # (lane, orig, loss) that converged this chunk
+                still = []   # lanes of real jobs still improving
+                for lane, orig in enumerate(lane_orig):
+                    if orig is None:
+                        continue
+                    cur = float(f_np[lane])
+                    prev = f_prev.get(orig)
+                    if (prev is not None
+                            and abs(prev - cur)
+                            <= cfg.stop_tol * max(1.0, abs(cur))):
+                        newly.append((lane, orig, cur))
+                    else:
+                        still.append(lane)
+                    f_prev[orig] = cur
+                if newly and not still:
+                    converged = True  # every remaining job is done
+                elif newly and still and shrink and done < iters:
+                    tgt = 1 << (len(still) - 1).bit_length()
+                    if tgt < len(lane_orig):
+                        # freeze the converged jobs' results NOW (the next
+                        # dispatch donates x), then gather the remaining
+                        # lanes and re-pad to the power-of-two size
+                        drop = np.asarray([ln for ln, _, _ in newly])
+                        rows = np.asarray(x[drop]).reshape(
+                            (len(newly),) + top[1:])
+                        for r, (_ln, orig, cur) in enumerate(newly):
+                            finished[orig] = (rows[r].copy(), cur)
+                        sel = np.asarray(
+                            still + [still[-1]] * (tgt - len(still)))
+                        import sys
+                        print(f"stop_tol: {len(newly)} job(s) converged "
+                              f"at step {done}; batch {len(lane_orig)} -> "
+                              f"{tgt}", file=sys.stderr)
+                        x = x[sel]
+                        # keep this chunk's loss vector lane-aligned with
+                        # the shrunken batch for the yield below
+                        f = f[sel]
+                        f_np = f_np[sel]
+                        opt_state = jax.tree_util.tree_map(
+                            lambda leaf: leaf[sel], opt_state)
+                        targets = jax.tree_util.tree_map(
+                            lambda leaf: leaf[sel], targets)
+                        lane_orig = ([lane_orig[ln] for ln in still]
+                                     + [None] * (tgt - len(still)))
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
                          or done >= iters or converged)):
                 # materializes x (a device sync): checkpoint-bearing
-                # chunks simply don't overlap
+                # chunks simply don't overlap (shrinking is disabled under
+                # checkpointing, so the state always spans the full batch)
                 save_checkpoint(checkpoint_path, x, opt_state, done,
                                 fingerprint=fp)
                 last_saved = done
@@ -373,6 +444,11 @@ class BatchedTransferJob:
                 pending = (done, x_fetch, f)
             elif yield_images or done >= iters or converged:
                 yield materialize(done, x, f)
+            elif f_np is not None:
+                # check_stop already fetched the losses; recompose so
+                # consumers keep original-order (real_batch,) losses
+                # across shrinks
+                yield done, None, compose_losses(f_np)
             else:
                 yield done, None, f
             if converged:

@@ -645,3 +645,50 @@ def test_stop_tol_async_generator_reports_100(images, vgg_params):
     assert [p for p, _ in out] == [25.0, 50.0, 100.0]
     assert out[-1][1] is not None
     np.testing.assert_array_equal(out[-1][1], out[1][1])
+
+
+def test_stop_shrink_per_job_early_exit(images, vgg_params):
+    """cfg.stop_shrink: a converged job leaves the batch at the chunk
+    boundary (result frozen there, like a single-job stop) while the rest
+    re-form at a smaller batch and keep optimizing; without shrinking the
+    group-stop waits for the slowest lane. Calibration is pinned to the
+    canonical test env like the goldens: at this shape the chunk-2
+    relative changes are ~1.15 (job0) vs ~1.46 (job1), so tol=1.3
+    converges job0 at step 10 and job1 at step 15."""
+    import dataclasses
+
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    content2 = np.random.default_rng(123).random(
+        content.shape).astype(np.float32)
+    cfg = Config(levels_num=1, iters_num=30, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=1.3)
+
+    b = BatchedTransferJob([content, content2], [style, style], cfg,
+                           params=vgg_params)
+    out = list(b.run())
+    assert [d for d, _, _ in out] == [5, 10, 15]
+    assert all(i.shape[0] == 2 and l.shape == (2,) for _, i, l in out)
+    # job0 froze at its step-10 state (bit-exact image and loss) ...
+    assert out[-1][2][0] == out[1][2][0]
+    np.testing.assert_array_equal(out[-1][1][0], out[1][1][0])
+    # ... while job1 kept improving in the shrunken batch
+    assert out[-1][2][1] < out[1][2][1]
+
+    # initial padding lanes (pad_batch_to) are shed by the same shrink
+    bp = BatchedTransferJob([content, content2], [style, style], cfg,
+                            params=vgg_params, pad_batch_to=4)
+    outp = list(bp.run())
+    assert [d for d, _, _ in outp] == [5, 10, 15]
+    assert outp[-1][2].shape == (2,)
+    assert outp[-1][2][0] == outp[1][2][0]
+
+    # group-stop (shrink off): job0 rides along until EVERY job converges
+    # at step 15, so it keeps optimizing past its own convergence
+    cfg_group = dataclasses.replace(cfg, stop_shrink=False)
+    bg = BatchedTransferJob([content, content2], [style, style], cfg_group,
+                            params=vgg_params)
+    outg = list(bg.run())
+    assert [d for d, _, _ in outg] == [5, 10, 15]
+    assert outg[-1][2][0] < out[-1][2][0]
