@@ -538,6 +538,15 @@ class TransferJob:
                 # pays for; relative threshold so one tolerance works
                 # across loss scales (reference losses span 1e6-1e9)
                 f = float(f)
+                if cfg.nan_checks and not np.isfinite(f):
+                    # the loss is on the host anyway and a NaN can never
+                    # satisfy the convergence test — surface it now
+                    # instead of burning the remaining budget
+                    raise FloatingPointError(
+                        f"non-finite loss {f} at step {done} "
+                        f"(optimizer={cfg.optimizer}, "
+                        f"lr_start={cfg.lr_start}); the TPU analogue of "
+                        f"the reference's autograd-anomaly guard tripped")
                 if (f_prev is not None
                         and abs(f_prev - f) <= cfg.stop_tol * max(1.0,
                                                                   abs(f))):

@@ -346,6 +346,12 @@ def main(argv=None) -> int:
                              "a chunk is <= this (e.g. 1e-4; default: run "
                              "the preset's full iteration budget like the "
                              "reference)")
+    parser.add_argument("--stop-shrink",
+                        action=argparse.BooleanOptionalAction, default=None,
+                        help="with --stop-tol: converged jobs leave their "
+                             "batch individually (default on); "
+                             "--no-stop-shrink stops a batch only when "
+                             "every job in it converged")
     parser.add_argument("--metrics", default=None, metavar="PATH",
                         help="append structured per-progress JSONL metrics "
                              "to PATH")
@@ -368,6 +374,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     if args.stop_tol is not None:
         cfg = dataclasses.replace(cfg, stop_tol=args.stop_tol)
+    if args.stop_shrink is not None:
+        cfg = dataclasses.replace(cfg, stop_shrink=args.stop_shrink)
     pairs = (CONTENT_STYLE_FILENAME_PAIRS[:args.max_pairs]
              if args.max_pairs else None)
     if args.warmup:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import html
 import logging
 import os
@@ -359,6 +360,12 @@ def main(argv=None) -> int:
                              "end a run once the relative loss change over "
                              "a chunk is <= this (e.g. 1e-4; default: run "
                              "the full iteration budget like the reference)")
+    parser.add_argument("--stop-shrink",
+                        action=argparse.BooleanOptionalAction, default=None,
+                        help="with --stop-tol: converged jobs leave their "
+                             "batch individually (default on); "
+                             "--no-stop-shrink stops a batch only when "
+                             "every job in it converged")
     parser.add_argument("--metrics", default=None, metavar="PATH",
                         help="append structured per-progress JSONL metrics "
                              "to PATH")
@@ -374,15 +381,13 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
     cfg = production_config(Config())
     if args.compute_dtype is not None:
-        import dataclasses
-
         # explicit dtype opts out of the precision flip only; the other
         # production settings (e.g. the unit line-search opening) stand
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     if args.stop_tol is not None:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, stop_tol=args.stop_tol)
+    if args.stop_shrink is not None:
+        cfg = dataclasses.replace(cfg, stop_shrink=args.stop_shrink)
     if args.warmup:
         from ..engine.warmup import warmup_serving
 

@@ -341,6 +341,13 @@ class BatchedTransferJob:
             + [None] * (self.batch - self.real_batch))
         finished: Dict[int, Tuple[np.ndarray, float]] = {}  # orig -> row, loss
         f_prev: Dict[int, float] = {}  # orig -> last chunk's loss
+        # convergence LATCHES per job: once a job's chunk change dips
+        # under tol it is done, even if later chunks (it keeps optimizing
+        # until it can actually leave the batch) oscillate back over tol
+        # — otherwise a group with staggered convergence would need every
+        # job to re-converge in the SAME chunk and could silently never
+        # stop
+        latched: set = set()
         targets = self.targets  # local: shrinking gathers it per-lane
 
         def compose_losses(f_np):
@@ -384,37 +391,53 @@ class BatchedTransferJob:
             f_np = None
             if check_stop:
                 f_np = np.asarray(f)
-                newly = []   # (lane, orig, loss) that converged this chunk
-                still = []   # lanes of real jobs still improving
+                # early NaN surfacing: the losses are on the host anyway,
+                # and a NaN can never satisfy the convergence test — do
+                # not let a poisoned batch burn the remaining budget
+                # before materialize()'s guard fires at the end
+                if cfg.nan_checks:
+                    bad = [orig for lane, orig in enumerate(lane_orig)
+                           if orig is not None
+                           and not np.isfinite(f_np[lane])]
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite loss at step {done} for batch "
+                            f"element(s) {bad} of {self.real_batch} "
+                            f"(optimizer={cfg.optimizer}, "
+                            f"lr_start={cfg.lr_start})")
+                ready = []   # (lane, orig, loss): latched, still in batch
+                still = []   # lanes of real jobs not yet converged
                 for lane, orig in enumerate(lane_orig):
                     if orig is None:
                         continue
                     cur = float(f_np[lane])
                     prev = f_prev.get(orig)
-                    if (prev is not None
-                            and abs(prev - cur)
-                            <= cfg.stop_tol * max(1.0, abs(cur))):
-                        newly.append((lane, orig, cur))
+                    if (orig in latched
+                            or (prev is not None
+                                and abs(prev - cur)
+                                <= cfg.stop_tol * max(1.0, abs(cur)))):
+                        latched.add(orig)
+                        ready.append((lane, orig, cur))
                     else:
                         still.append(lane)
                     f_prev[orig] = cur
-                if newly and not still:
+                if ready and not still:
                     converged = True  # every remaining job is done
-                elif newly and still and shrink and done < iters:
+                elif ready and still and shrink and done < iters:
                     tgt = 1 << (len(still) - 1).bit_length()
                     if tgt < len(lane_orig):
                         # freeze the converged jobs' results NOW (the next
                         # dispatch donates x), then gather the remaining
                         # lanes and re-pad to the power-of-two size
-                        drop = np.asarray([ln for ln, _, _ in newly])
+                        drop = np.asarray([ln for ln, _, _ in ready])
                         rows = np.asarray(x[drop]).reshape(
-                            (len(newly),) + top[1:])
-                        for r, (_ln, orig, cur) in enumerate(newly):
+                            (len(ready),) + top[1:])
+                        for r, (_ln, orig, cur) in enumerate(ready):
                             finished[orig] = (rows[r].copy(), cur)
                         sel = np.asarray(
                             still + [still[-1]] * (tgt - len(still)))
                         import sys
-                        print(f"stop_tol: {len(newly)} job(s) converged "
+                        print(f"stop_tol: {len(ready)} job(s) converged "
                               f"at step {done}; batch {len(lane_orig)} -> "
                               f"{tgt}", file=sys.stderr)
                         x = x[sel]
@@ -650,6 +673,14 @@ def planned_round_sizes(cfg: Config, content_shape: tuple, n_jobs: int,
             # multiple of the jobs axis
             size = -(-size // jobs_axis) * jobs_axis
         sizes.add(size)
+    if (cfg.stop_tol > 0.0 and cfg.stop_shrink and policy != "sequential"
+            and jobs_axis == 1):
+        # convergence shrinking (BatchedTransferJob.run) re-forms a batch
+        # down the power-of-two ladder as jobs exit; those executables are
+        # part of what a round can dispatch (shrinking is V1-gated to
+        # single-device runs, hence jobs_axis == 1)
+        for size in list(sizes):
+            sizes.update(1 << p for p in range((size - 1).bit_length()))
     return sorted(sizes)
 
 

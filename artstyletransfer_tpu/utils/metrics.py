@@ -66,6 +66,16 @@ class Throughput:
         if self._last is not None:
             dt = now - self._last[0]
             dsteps = steps_done - self._last[1]
+            if dt < 1e-3:
+                # synthetic/duplicate progress event: e.g. the
+                # convergence early-stop's completion re-emit (engine
+                # yields the final image again at percent=100) lands
+                # microseconds after the real final chunk. No real chunk
+                # completes in under a millisecond, and folding such an
+                # interval in would permanently inflate the running
+                # average with steps that took no time.
+                self._last = (now, steps_done)
+                return self.steps_per_sec
             if self._intervals > 0:  # skip the compile-bearing interval
                 self._steps += dsteps
                 self._elapsed += dt

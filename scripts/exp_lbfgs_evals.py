@@ -61,9 +61,12 @@ def main():
                     evals_now = int(np.asarray(opt.n_evals))  # device sync
                     wc = time.perf_counter() - tc
                     seg = evals_now - evals_before
+                    note = ("" if n == per_chunk else
+                            " [fresh executable: wall includes its "
+                            "compile]")
                     print(f"  steps {done}-{done + n}: {seg} evals "
                           f"({seg / n:.2f}/step), loss "
-                          f"{float(np.asarray(f)):.4e}, {wc:.1f}s",
+                          f"{float(np.asarray(f)):.4e}, {wc:.1f}s{note}",
                           flush=True)
                     evals_before, done = evals_now, done + n
             else:

@@ -134,13 +134,6 @@ def main():
     from artstyletransfer_tpu.parallel.batch import planned_round_sizes
     sizes = planned_round_sizes(cfg, pairs[0].content[1].shape, args.jobs,
                                 max_batch=8)
-    if cfg.stop_tol > 0.0 and cfg.stop_shrink:
-        # convergence shrinking re-forms batches down the power-of-two
-        # ladder — warm it like warmup_serving's online plan does, so the
-        # timed region stays compile-free
-        sizes = sorted({s for n in sizes for s in
-                        (1 << p for p in range((n - 1).bit_length() + 1))
-                        if s <= n} | set(sizes))
     for size in sizes:
         print(f"[warmup] batch-{size} graph ...", file=sys.stderr)
         wb = BatchedTransferJob([pairs[0].content[1]] * size,

@@ -280,3 +280,23 @@ def test_steady_state_throughput_splits_retry_segments(tmp_path):
     # once per attempt they actually ran
     assert covered == 120.0
     assert abs(sps - 3.0) < 1e-9
+
+
+def test_throughput_ignores_synthetic_instant_ticks(monkeypatch):
+    """The early-stop completion re-emit lands microseconds after the
+    real final chunk; Throughput must not fold that zero-time interval
+    into its running average (it would record an absurd steps/s spike)."""
+    from artstyletransfer_tpu.utils import metrics as m
+
+    t = {"now": 1000.0}
+    monkeypatch.setattr(m.time, "time", lambda: t["now"])
+    tp = m.Throughput()
+    tp.tick(0)            # baseline
+    t["now"] += 10.0
+    tp.tick(100)          # compile-bearing interval (skipped by design)
+    t["now"] += 10.0
+    sps = tp.tick(200)    # first counted interval: 10 steps/s
+    assert sps == pytest.approx(10.0)
+    t["now"] += 1e-5
+    sps = tp.tick(400)    # synthetic re-emit: +200 steps in 10us
+    assert sps == pytest.approx(10.0)  # unchanged, not ~2e7

@@ -692,3 +692,68 @@ def test_stop_shrink_per_job_early_exit(images, vgg_params):
     outg = list(bg.run())
     assert [d for d, _, _ in outg] == [5, 10, 15]
     assert outg[-1][2][0] < out[-1][2][0]
+
+
+def test_stop_tol_group_latches_convergence(images, vgg_params):
+    """Convergence latches per job: in group-stop mode (stop_shrink off) a
+    job that converged once counts as done even if a later chunk's loss
+    oscillation pushes its change back over tol — otherwise staggered
+    convergence would require every job to re-converge in the SAME chunk.
+    Calibration (canonical test env, probed like the goldens): at
+    tol=0.0498 job1's change dips to 0.0415 at step 35, swings back to
+    0.0521 at step 40, and job0 first converges at step 40 (0.0475) —
+    latched group-stop ends at 40; chunk-local re-derivation would not
+    stop before 50."""
+    import dataclasses
+
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    content2 = np.random.default_rng(123).random(
+        content.shape).astype(np.float32)
+    cfg = Config(levels_num=1, iters_num=60, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=0.0498,
+                 stop_shrink=False)
+    b = BatchedTransferJob([content, content2], [style, style], cfg,
+                           params=vgg_params)
+    out = list(b.run(yield_images=False))
+    assert out[-1][0] == 40
+    assert out[-1][1] is not None  # converged stop materializes
+
+    # shrink mode at the same tol: job1 exits at its own latch point (35)
+    cfg_s = dataclasses.replace(cfg, stop_shrink=True)
+    bs = BatchedTransferJob([content, content2], [style, style], cfg_s,
+                            params=vgg_params)
+    outs = list(bs.run(yield_images=False))
+    assert outs[-1][0] == 40
+    # job1 froze at step 35; job0 ran to its own convergence at 40
+    step35 = [o for o in outs if o[0] == 35][0]
+    assert outs[-1][2][1] == step35[2][1]
+
+
+def test_stop_tol_nan_surfaces_immediately(images, vgg_params):
+    """With stop_tol the loss is host-fetched every chunk; a NaN must
+    raise THERE, not after the remaining budget burns (single + batched)."""
+    import dataclasses
+
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    # lr large enough to blow Adam up at 16px within a few steps
+    cfg = Config(levels_num=1, iters_num=40, base_diameter=16,
+                 optimizer="adam", stream_every=5, lr_start=1e18,
+                 stop_tol=1e-6)
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    steps_seen = []
+    with pytest.raises(FloatingPointError):
+        for d, _i, _f in job.run(yield_images=False):
+            steps_seen.append(d)
+    assert len(steps_seen) < 8  # raised long before the 8-chunk budget
+
+    b = BatchedTransferJob([content, content], [style, style],
+                           dataclasses.replace(cfg), params=vgg_params)
+    steps_seen = []
+    with pytest.raises(FloatingPointError):
+        for d, _i, _f in b.run(yield_images=False):
+            steps_seen.append(d)
+    assert len(steps_seen) < 8

@@ -587,3 +587,25 @@ def test_warmup_serving_shared_entry(vgg_params, monkeypatch):
     assert warmup_mod.warmup_serving(cfg, online=True) == 1
     assert calls["sizes"] == (1, 2, 4, 8)
     assert calls["mesh"] is None
+
+
+def test_planned_round_sizes_covers_shrink_ladder():
+    """With stop_tol + stop_shrink, convergence shrinking re-forms batches
+    down the power-of-two ladder — the warmup plan must cover those
+    executables too (a cold compile mid-serve is exactly what warmup
+    exists to prevent)."""
+    import dataclasses
+
+    from artstyletransfer_tpu.parallel.batch import planned_round_sizes
+
+    cfg = Config(optimizer="adam", levels_num=1, base_diameter=16,
+                 stop_tol=1e-4)
+    shape = (16, 24, 3)
+    assert planned_round_sizes(cfg, shape, 8, max_batch=8) == [1, 2, 4, 8]
+    assert planned_round_sizes(cfg, shape, 3, max_batch=8) == [1, 2, 4]
+    # shrinking is V1-gated off on a multi-device jobs axis and when
+    # stop_shrink is explicitly disabled
+    assert planned_round_sizes(cfg, shape, 8, jobs_axis=4,
+                               max_batch=8) == [8]
+    no_shrink = dataclasses.replace(cfg, stop_shrink=False)
+    assert planned_round_sizes(no_shrink, shape, 8, max_batch=8) == [8]
