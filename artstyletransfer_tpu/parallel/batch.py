@@ -324,7 +324,7 @@ class BatchedTransferJob:
         # re-form at the next power-of-two batch size (the serving warmup
         # set; XLA compiles one executable per size, the vmapped jit
         # itself is size-agnostic). Without shrinking the whole group
-        # stops once EVERY job has converged in the same chunk (the
+        # stops once EVERY job has converged at least once — latched (the
         # slowest lane gates — measured -10% wall vs -41% for per-job
         # scheduling at the 8-job serving shape, PARITY.md). Needs a
         # per-chunk loss fetch, so lookahead is off — same trade as
