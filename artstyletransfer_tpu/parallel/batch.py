@@ -35,6 +35,18 @@ from ..utils.image import prepare_img, unprepare_img
 
 _BATCH_CACHE: Dict[Any, Any] = {}
 
+
+@jax.jit
+def _gather_rows(tree, idx):
+    """Gather rows idx from the leading (batch) axis of every leaf, as ONE
+    executable. Convergence shrinking re-forms (x, f, opt_state, targets)
+    at a smaller batch; done leaf-by-leaf outside jit that is ~23 separate
+    op dispatches — each paying the remote tunnel's per-dispatch/compile
+    latency (~75s measured for one 4→2 shrink at 2level512/history=100,
+    PARITY.md). One jitted call fuses them: one dispatch, one executable
+    per (structure, old→new shape) pair."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[idx], tree)
+
 # Gate for the fully-constrained space-sharded graph: the LOWEST pyramid
 # level's shortest side must be >= 32 * space. Below it, two observed
 # failure modes (round 4, CPU virtual mesh):
@@ -440,15 +452,12 @@ class BatchedTransferJob:
                         print(f"stop_tol: {len(ready)} job(s) converged "
                               f"at step {done}; batch {len(lane_orig)} -> "
                               f"{tgt}", file=sys.stderr)
-                        x = x[sel]
-                        # keep this chunk's loss vector lane-aligned with
-                        # the shrunken batch for the yield below
-                        f = f[sel]
+                        # one fused gather for the whole carried state
+                        # (f included: the yield below needs this chunk's
+                        # loss vector lane-aligned with the shrunken batch)
+                        x, f, opt_state, targets = _gather_rows(
+                            (x, f, opt_state, targets), jnp.asarray(sel))
                         f_np = f_np[sel]
-                        opt_state = jax.tree_util.tree_map(
-                            lambda leaf: leaf[sel], opt_state)
-                        targets = jax.tree_util.tree_map(
-                            lambda leaf: leaf[sel], targets)
                         lane_orig = ([lane_orig[ln] for ln in still]
                                      + [None] * (tgt - len(still)))
             if (checkpoint_path and checkpoint_every
