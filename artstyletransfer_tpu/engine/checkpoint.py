@@ -17,7 +17,7 @@ silently loading shape-compatible state into a different numerics graph.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -33,11 +33,20 @@ def _flatten_state(tree: Any) -> Dict[str, np.ndarray]:
 
 
 def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
-                    step: int, fingerprint: Optional[str] = None) -> None:
+                    step: int, fingerprint: Optional[str] = None,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    """extra: small JSON-serializable host-side state saved alongside the
+    device state — e.g. the convergence early-stop's latched/previous-loss
+    bookkeeping (stop_tol), which must survive a resume or the resumed
+    run would re-derive convergence later than the uninterrupted one."""
     arrays = {"magic": np.array(_MAGIC), "x": np.asarray(x),
               "step": np.array(step)}
     if fingerprint is not None:
         arrays["fingerprint"] = np.array(fingerprint)
+    if extra:
+        import json
+
+        arrays["extra_json"] = np.array(json.dumps(extra))
     for k, v in _flatten_state(opt_state).items():
         arrays[f"opt_{k}"] = v
     tmp = path + ".tmp"
@@ -48,9 +57,11 @@ def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
 
 
 def load_checkpoint(path: str, opt_state_template: Any,
-                    fingerprint: Optional[str] = None
-                    ) -> Tuple[np.ndarray, Any, int]:
-    """Returns (x, opt_state, step). The template provides the pytree
+                    fingerprint: Optional[str] = None,
+                    with_extra: bool = False):
+    """Returns (x, opt_state, step) — or (x, opt_state, step, extra) with
+    with_extra=True, where extra is the dict passed to save_checkpoint
+    ({} when the file carries none). The template provides the pytree
     structure (build it with the job's init_fn).
 
     If both the caller and the file carry a fingerprint, they must match:
@@ -87,4 +98,11 @@ def load_checkpoint(path: str, opt_state_template: Any,
                 f"{want_dtype} (different compute dtype/config?)")
         new_leaves.append(arr)
     opt_state = jax.tree.unflatten(treedef, new_leaves)
-    return data["x"], opt_state, int(data["step"])
+    if not with_extra:
+        return data["x"], opt_state, int(data["step"])
+    extra = {}
+    if "extra_json" in data:
+        import json
+
+        extra = json.loads(str(data["extra_json"]))
+    return data["x"], opt_state, int(data["step"]), extra

@@ -69,6 +69,14 @@ def _on_tpu() -> bool:
         return False
 
 
+def _raise_nonfinite(f: float, done: int, cfg: Config) -> None:
+    """One message for every single-job non-finite-loss guard site."""
+    raise FloatingPointError(
+        f"non-finite loss {f} at step {done} (optimizer={cfg.optimizer}, "
+        f"lr_start={cfg.lr_start}); the TPU analogue of the reference's "
+        f"autograd-anomaly guard tripped")
+
+
 def _make_pyramid_loss(level_shapes: List[Tuple[int, int, int, int]],
                        cfg: Config, space_mesh=None):
     """Returns loss_fn(params, targets, x_flat) -> (total, LevelLoss list).
@@ -451,6 +459,7 @@ class TransferJob:
         x = jnp.array(self._x0, copy=True)
         opt_state = None
         done = 0
+        ck_extra: dict = {}
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             # abstract template: eval_shape gives the same pytree (shapes +
             # dtypes) with ZERO device work — running _init_fn here would
@@ -458,11 +467,12 @@ class TransferJob:
             # replaced by the checkpoint leaves
             template = jax.eval_shape(self._init_fn, self.params,
                                       self.targets, x)
-            x_np, opt_state, done = load_checkpoint(checkpoint_path,
-                                                    template,
-                                                    fingerprint=fp)
+            x_np, opt_state, done, ck_extra = load_checkpoint(
+                checkpoint_path, template, fingerprint=fp, with_extra=True)
             x = jnp.asarray(x_np)
-            if done >= iters:
+            if done >= iters or ck_extra.get("converged"):
+                # completed by budget OR by a convergence early-stop —
+                # either way the run is done; yield its final state
                 # the checkpoint already holds a completed run — yield its
                 # final state so callers always receive the result
                 img = unprepare_img(
@@ -496,16 +506,20 @@ class TransferJob:
         lookahead = (yield_images and cfg.pipeline_streaming
                      and not report_level_losses and not check_stop)
         pending = None  # (done, x_fetch, f) dispatched, not yet yielded
-        f_prev = None   # last synced loss, for the stop check
+        # last synced loss for the stop check; restored from the
+        # checkpoint so a resumed run makes the same chunk-k vs chunk-k+1
+        # comparison the uninterrupted run would have made
+        f_prev = ck_extra.get("f_prev")
+
+        def stop_extra(converged):
+            # host-side stop bookkeeping persisted with the device state
+            return ({"f_prev": f_prev, "converged": converged}
+                    if check_stop else None)
 
         def materialize(done_k, x_fetch, f_k):
             f_k = float(f_k)
             if cfg.nan_checks and not np.isfinite(f_k):
-                raise FloatingPointError(
-                    f"non-finite loss {f_k} at step {done_k} "
-                    f"(optimizer={cfg.optimizer}, "
-                    f"lr_start={cfg.lr_start}); the TPU analogue of the "
-                    f"reference's autograd-anomaly guard tripped")
+                _raise_nonfinite(f_k, done_k, cfg)
             img_k = unprepare_img(
                 np.asarray(x_fetch).reshape(self.level_shapes[0]))
             return done_k, img_k, f_k
@@ -542,11 +556,7 @@ class TransferJob:
                     # the loss is on the host anyway and a NaN can never
                     # satisfy the convergence test — surface it now
                     # instead of burning the remaining budget
-                    raise FloatingPointError(
-                        f"non-finite loss {f} at step {done} "
-                        f"(optimizer={cfg.optimizer}, "
-                        f"lr_start={cfg.lr_start}); the TPU analogue of "
-                        f"the reference's autograd-anomaly guard tripped")
+                    _raise_nonfinite(f, done, cfg)
                 if (f_prev is not None
                         and abs(f_prev - f) <= cfg.stop_tol * max(1.0,
                                                                   abs(f))):
@@ -563,16 +573,12 @@ class TransferJob:
                 # pipeline the no-image mode exists to provide
                 f = float(f)
                 if cfg.nan_checks and not np.isfinite(f):
-                    raise FloatingPointError(
-                        f"non-finite loss {f} at step {done} "
-                        f"(optimizer={cfg.optimizer}, "
-                        f"lr_start={cfg.lr_start}); the TPU analogue of the "
-                        f"reference's autograd-anomaly guard tripped")
+                    _raise_nonfinite(f, done, cfg)
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
                          or done >= iters or converged)):
                 save_checkpoint(checkpoint_path, x, opt_state, done,
-                                fingerprint=fp)
+                                fingerprint=fp, extra=stop_extra(converged))
                 last_saved = done
             if sync:
                 img = unprepare_img(

@@ -66,10 +66,11 @@ def online_warmup_plan(cfg: Config, mesh,
     # sizes every possible round 1..max_batch dispatches (the shape arg
     # only matters when max_batch is implicit, which it never is here)
     shape = (cfg.base_diameter, cfg.base_diameter, 3)
+    n_devices = 1 if mesh is None else int(mesh.devices.size)
     sizes = sorted({s for n in range(1, max_batch + 1)
                     for s in planned_round_sizes(
                         cfg, shape, n, jobs_axis=jobs_axis,
-                        max_batch=max_batch)})
+                        max_batch=max_batch, mesh_devices=n_devices)})
     return tuple(sizes), mesh
 
 
@@ -119,6 +120,11 @@ def warmup_aspect_buckets(cfg: Config, params=None,
                              yield_images=False):
                 pass
             n += 1
+            if size is not None:
+                # shrink-gather executables for every (size -> pow2) pair
+                # convergence shrinking can dispatch from this batch
+                # (no-op unless cfg.stop_tol/stop_shrink enable it)
+                n += job.warm_shrink_gathers()
             if verbose:
                 tag = "" if size is None else f" batch={size}"
                 print(f"warmup: aspect {aspect:.3f} ({h}x{w}){tag} ready "

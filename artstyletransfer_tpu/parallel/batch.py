@@ -36,6 +36,14 @@ from ..utils.image import prepare_img, unprepare_img
 _BATCH_CACHE: Dict[Any, Any] = {}
 
 
+def _raise_nonfinite_batch(bad, done, real_batch, cfg) -> None:
+    """One message for every batched non-finite-loss guard site."""
+    raise FloatingPointError(
+        f"non-finite loss at step {done} for batch element(s) {bad} of "
+        f"{real_batch} (optimizer={cfg.optimizer}, "
+        f"lr_start={cfg.lr_start})")
+
+
 @jax.jit
 def _gather_rows(tree, idx):
     """Gather rows idx from the leading (batch) axis of every leaf, as ONE
@@ -268,6 +276,34 @@ class BatchedTransferJob:
         self.targets = jit_targets(self.params, c_batched, s_batched)
         self._x0 = jnp.asarray(x0)
 
+    def warm_shrink_gathers(self) -> int:
+        """Precompile the fused `_gather_rows` executable for every
+        (this batch → smaller power-of-two) pair convergence shrinking
+        can dispatch (run()'s shrink gate permitting); returns how many
+        were compiled. Pure AOT lower+compile on abstract shapes — zero
+        device work, and it feeds the same dispatch cache the live jit
+        call hits (measured: first real call ~3 ms after an AOT warm).
+        Without it, a live serving batch stalls on `_gather_rows`' cold
+        compile at its FIRST shrink (~20s through a remote tunnel) —
+        the exact mid-serve stall warmup exists to prevent."""
+        if not (self.cfg.stop_tol > 0.0 and self.cfg.stop_shrink
+                and self.batch > 1
+                and (self.mesh is None or self.mesh.devices.size == 1)):
+            return 0
+        x_sds = jax.ShapeDtypeStruct(self._x0.shape, self._x0.dtype)
+        f_sds = jax.ShapeDtypeStruct((self.batch,), jnp.float32)
+        opt_sds = jax.eval_shape(self._init_fn, self.params, self.targets,
+                                 x_sds)
+        tgt_sds = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.targets)
+        n = 0
+        for p in range((self.batch - 1).bit_length()):
+            sel_sds = jax.ShapeDtypeStruct((1 << p,), jnp.int32)
+            _gather_rows.lower((x_sds, f_sds, opt_sds, tgt_sds),
+                               sel_sds).compile()
+            n += 1
+        return n
+
     def run(self, iters_num: Optional[int] = None,
             stream_every: Optional[int] = None,
             checkpoint_path: Optional[str] = None,
@@ -302,18 +338,19 @@ class BatchedTransferJob:
         x = jnp.array(self._x0, copy=True)
         opt_state = None
         done = 0
+        ck_extra: Dict[str, Any] = {}
         top = self.level_shapes[0]  # (1, H, W, 3) per job
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             # abstract template (zero device work) — see TransferJob.run
             template = jax.eval_shape(self._init_fn, self.params,
                                       self.targets, x)
-            x_np, opt_state, done = load_checkpoint(checkpoint_path,
-                                                    template,
-                                                    fingerprint=fp)
+            x_np, opt_state, done, ck_extra = load_checkpoint(
+                checkpoint_path, template, fingerprint=fp, with_extra=True)
             x = jnp.asarray(x_np)
-            if done >= iters:
-                # completed checkpoint — yield its final state once, with
-                # real per-job losses (mirrors the single-job resume path)
+            if done >= iters or ck_extra.get("converged"):
+                # completed checkpoint (by budget or by a convergence
+                # early-stop) — yield its final state once, with real
+                # per-job losses (mirrors the single-job resume path)
                 imgs = np.asarray(x).reshape((self.batch,) + top[1:])
                 imgs = np.stack([unprepare_img(im)
                                  for im in imgs[:self.real_batch]])
@@ -352,15 +389,25 @@ class BatchedTransferJob:
             list(range(self.real_batch))
             + [None] * (self.batch - self.real_batch))
         finished: Dict[int, Tuple[np.ndarray, float]] = {}  # orig -> row, loss
-        f_prev: Dict[int, float] = {}  # orig -> last chunk's loss
+        # per-job stop bookkeeping, restored from the checkpoint so a
+        # resumed stop_tol run makes the same comparisons (and keeps its
+        # latches) the uninterrupted run would have
+        f_prev: Dict[int, float] = {  # orig -> last chunk's loss
+            int(k): v for k, v in ck_extra.get("f_prev", {}).items()}
         # convergence LATCHES per job: once a job's chunk change dips
         # under tol it is done, even if later chunks (it keeps optimizing
         # until it can actually leave the batch) oscillate back over tol
         # — otherwise a group with staggered convergence would need every
         # job to re-converge in the SAME chunk and could silently never
         # stop
-        latched: set = set()
+        latched: set = set(ck_extra.get("latched", ()))
         targets = self.targets  # local: shrinking gathers it per-lane
+
+        def stop_extra(converged):
+            # JSON keys are strings; f_prev's int keys restore above
+            return ({"f_prev": {str(k): v for k, v in f_prev.items()},
+                     "latched": sorted(latched), "converged": converged}
+                    if check_stop else None)
 
         def compose_losses(f_np):
             # original-order (real_batch,) losses: live lanes from the
@@ -386,11 +433,7 @@ class BatchedTransferJob:
             # the offending jobs so a poisoned batch is diagnosable
             if cfg.nan_checks and not np.isfinite(losses_k).all():
                 bad = np.flatnonzero(~np.isfinite(losses_k)).tolist()
-                raise FloatingPointError(
-                    f"non-finite loss at step {done_k} for batch "
-                    f"element(s) {bad} of {self.real_batch} "
-                    f"(optimizer={cfg.optimizer}, "
-                    f"lr_start={cfg.lr_start})")
+                _raise_nonfinite_batch(bad, done_k, self.real_batch, cfg)
             return done_k, imgs_k, losses_k
 
         while done < iters:
@@ -412,11 +455,8 @@ class BatchedTransferJob:
                            if orig is not None
                            and not np.isfinite(f_np[lane])]
                     if bad:
-                        raise FloatingPointError(
-                            f"non-finite loss at step {done} for batch "
-                            f"element(s) {bad} of {self.real_batch} "
-                            f"(optimizer={cfg.optimizer}, "
-                            f"lr_start={cfg.lr_start})")
+                        _raise_nonfinite_batch(bad, done, self.real_batch,
+                                               cfg)
                 ready = []   # (lane, orig, loss): latched, still in batch
                 still = []   # lanes of real jobs not yet converged
                 for lane, orig in enumerate(lane_orig):
@@ -467,7 +507,7 @@ class BatchedTransferJob:
                 # chunks simply don't overlap (shrinking is disabled under
                 # checkpointing, so the state always spans the full batch)
                 save_checkpoint(checkpoint_path, x, opt_state, done,
-                                fingerprint=fp)
+                                fingerprint=fp, extra=stop_extra(converged))
                 last_saved = done
             if lookahead:
                 x_fetch = x if done >= iters else jnp.copy(x)
@@ -654,7 +694,9 @@ def resolve_group_cap(cfg: Config, content_shape: tuple, jobs_axis: int,
 def planned_round_sizes(cfg: Config, content_shape: tuple, n_jobs: int,
                         jobs_axis: int = 1, policy: str = "auto",
                         max_batch: Optional[int] = None,
-                        pad_batches: bool = True) -> list:
+                        pad_batches: bool = True,
+                        mesh_devices: int = 1,
+                        checkpointing: bool = False) -> list:
     """The compiled batch sizes run_job_queue dispatches for a
     single-bucket queue of n_jobs same-shape jobs — exactly the sizes a
     warmup must precompile so no round hits a cold XLA compile mid-serve.
@@ -683,11 +725,13 @@ def planned_round_sizes(cfg: Config, content_shape: tuple, n_jobs: int,
             size = -(-size // jobs_axis) * jobs_axis
         sizes.add(size)
     if (cfg.stop_tol > 0.0 and cfg.stop_shrink and policy != "sequential"
-            and jobs_axis == 1):
+            and jobs_axis == 1 and mesh_devices <= 1 and not checkpointing):
         # convergence shrinking (BatchedTransferJob.run) re-forms a batch
         # down the power-of-two ladder as jobs exit; those executables are
-        # part of what a round can dispatch (shrinking is V1-gated to
-        # single-device runs, hence jobs_axis == 1)
+        # part of what a round can dispatch. The gate here mirrors run()'s
+        # shrink gate exactly (single device, no checkpointing — V1
+        # scope): warming ladder sizes a queue can never dispatch wastes
+        # multi-minute compiles.
         for size in list(sizes):
             sizes.update(1 << p for p in range((size - 1).bit_length()))
     return sorted(sizes)

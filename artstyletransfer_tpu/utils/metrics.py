@@ -66,14 +66,20 @@ class Throughput:
         if self._last is not None:
             dt = now - self._last[0]
             dsteps = steps_done - self._last[1]
-            if dt < 1e-3:
-                # synthetic/duplicate progress event: e.g. the
-                # convergence early-stop's completion re-emit (engine
-                # yields the final image again at percent=100) lands
-                # microseconds after the real final chunk. No real chunk
-                # completes in under a millisecond, and folding such an
-                # interval in would permanently inflate the running
-                # average with steps that took no time.
+            # Synthetic/duplicate progress events must not enter the
+            # running average: the convergence early-stop's completion
+            # re-emit (the engine yields the final image again at
+            # percent=100) arrives moments after the real final chunk and
+            # can carry the entire un-run remainder of the budget as
+            # phantom dsteps. Two filters: no real chunk completes in
+            # under a millisecond, and no real chunk runs >50x faster
+            # than the measured running rate (re-emits land 3-6 orders of
+            # magnitude above it; real rate changes across chunks are
+            # bounded by the fixed chunk cadence).
+            synthetic = dt < 1e-3 or (
+                dsteps > 0 and self._elapsed > 0 and self._steps > 0
+                and dsteps / dt > 50.0 * self._steps / self._elapsed)
+            if synthetic:
                 self._last = (now, steps_done)
                 return self.steps_per_sec
             if self._intervals > 0:  # skip the compile-bearing interval

@@ -23,8 +23,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np  # noqa: E402
 
 from artstyletransfer_tpu.config import Config, production_config  # noqa: E402
-from artstyletransfer_tpu.parallel.batch import (BatchedTransferJob,  # noqa: E402
-                                                 planned_round_sizes)
+from artstyletransfer_tpu.parallel.batch import BatchedTransferJob  # noqa: E402
 from artstyletransfer_tpu.utils.image import load_image  # noqa: E402
 
 CONTENT = "/root/reference/data/content-images/bird.jpg"
@@ -61,9 +60,15 @@ def main():
                                     iters_num=iters))
     stop = dataclasses.replace(base, stop_tol=tol)
 
-    # warm every size the shrink ladder can touch (compile-free arms)
-    for size in planned_round_sizes(stop, content.shape, n_jobs,
-                                    max_batch=n_jobs):
+    # warm every size the shrink ladder can touch (compile-free arms).
+    # Sizes come from this harness's own dispatch — timed_run always
+    # vmaps batch n_jobs — not from the queue policy (on CPU, where
+    # production_config keeps lbfgs_t_init='lr', planned_round_sizes
+    # routes full-Wolfe sequential and would warm only batch-1, leaving
+    # the smoke's timed arms compiling).
+    ladder = sorted({n_jobs} | {1 << p
+                                for p in range((n_jobs - 1).bit_length())})
+    for size in ladder:
         t0 = time.perf_counter()
         wb = BatchedTransferJob([content] * size, [style] * size, base)
         for _ in wb.run(iters_num=chunk, yield_images=False):

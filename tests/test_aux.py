@@ -300,3 +300,13 @@ def test_throughput_ignores_synthetic_instant_ticks(monkeypatch):
     t["now"] += 1e-5
     sps = tp.tick(400)    # synthetic re-emit: +200 steps in 10us
     assert sps == pytest.approx(10.0)  # unchanged, not ~2e7
+    # the re-emit can also land after a dozen ms of image copies and
+    # frontend hooks — the rate-ratio filter catches what the dt floor
+    # cannot (phantom steps at ~1000x the measured running rate)
+    t["now"] += 0.012
+    sps = tp.tick(1400)   # +1000 phantom steps in 12ms
+    assert sps == pytest.approx(10.0)
+    # a real next chunk still counts
+    t["now"] += 10.0
+    sps = tp.tick(1500)
+    assert sps == pytest.approx((100 + 100) / 20.0)

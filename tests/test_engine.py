@@ -573,6 +573,12 @@ def test_stop_tol_early_stops_single_job(tmp_path, images, vgg_params):
     assert out[-1][1] is not None and out[-1][1].shape[2] == 3
     assert all(isinstance(f, float) for _, _, f in out)
     assert os.path.exists(ckpt)  # converged stop persists like completion
+    # resuming that converged checkpoint yields the completed state once
+    # (done=10 < iters, but the stop bookkeeping marks the run complete)
+    again = list(TransferJob(content, style, cfg, params=vgg_params).run(
+        checkpoint_path=ckpt, checkpoint_every=100, resume=True))
+    assert len(again) == 1 and again[0][0] == 10
+    np.testing.assert_array_equal(again[0][1], out[-1][1])
 
     # no-image mode: intermediate chunks stay image-free, the converged
     # final chunk still materializes
@@ -757,3 +763,70 @@ def test_stop_tol_nan_surfaces_immediately(images, vgg_params):
         for d, _i, _f in b.run(yield_images=False):
             steps_seen.append(d)
     assert len(steps_seen) < 8
+
+
+def test_stop_tol_latch_survives_checkpoint_resume(tmp_path, images,
+                                                   vgg_params):
+    """The stop bookkeeping (latched set + previous losses) persists in
+    the checkpoint: a run interrupted after a latch resumes and stops at
+    the same step with bit-exact results; resuming a converged-stopped
+    checkpoint yields the final state instead of optimizing further."""
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    content2 = np.random.default_rng(123).random(
+        content.shape).astype(np.float32)
+    # group mode (shrink is disabled under checkpointing anyway): job1
+    # latches at step 35, job0 converges at 40 (calibration above)
+    cfg = Config(levels_num=1, iters_num=60, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=0.0498,
+                 stop_shrink=False)
+    args = ([content, content2], [style, style])
+    full = list(BatchedTransferJob(*args, cfg, params=vgg_params)
+                .run(yield_images=False))
+    assert full[-1][0] == 40
+
+    ckpt = str(tmp_path / "latch.ckpt")
+    it = BatchedTransferJob(*args, cfg, params=vgg_params).run(
+        yield_images=False, checkpoint_path=ckpt, checkpoint_every=5)
+    for d, _i, _f in it:
+        if d >= 35:   # interrupt after job1's latch landed in the ckpt
+            it.close()
+            break
+    resumed = list(BatchedTransferJob(*args, cfg, params=vgg_params).run(
+        yield_images=False, checkpoint_path=ckpt, checkpoint_every=5,
+        resume=True))
+    assert resumed[-1][0] == 40  # same stop step as the uninterrupted run
+    np.testing.assert_array_equal(resumed[-1][1], full[-1][1])
+    np.testing.assert_array_equal(resumed[-1][2], full[-1][2])
+
+    # the converged stop wrote a final checkpoint: a later resume yields
+    # the completed state once instead of optimizing past the stop
+    again = list(BatchedTransferJob(*args, cfg, params=vgg_params).run(
+        yield_images=False, checkpoint_path=ckpt, checkpoint_every=5,
+        resume=True))
+    assert len(again) == 1 and again[0][0] == 40
+    # the completed-resume path recomputes the loss AT the final x, while
+    # the run yields the optimizer's pre-update loss (one step stale by
+    # construction) — same state, slightly fresher number
+    np.testing.assert_allclose(again[0][2], full[-1][2], rtol=0.05)
+    np.testing.assert_array_equal(again[0][1], full[-1][1])
+
+
+def test_warm_shrink_gathers_precompiles_ladder(images, vgg_params):
+    """warm_shrink_gathers AOT-compiles the fused gather for every
+    (batch -> pow2) pair, and is a no-op when shrinking cannot engage."""
+    import dataclasses
+
+    from artstyletransfer_tpu.parallel.batch import BatchedTransferJob
+
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=1e-4)
+    b = BatchedTransferJob([content] * 4, [style] * 4, cfg,
+                           params=vgg_params)
+    assert b.warm_shrink_gathers() == 2  # 4->1 and 4->2
+    off = dataclasses.replace(cfg, stop_tol=0.0)
+    b_off = BatchedTransferJob([content] * 4, [style] * 4, off,
+                               params=vgg_params)
+    assert b_off.warm_shrink_gathers() == 0

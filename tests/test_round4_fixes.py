@@ -609,3 +609,9 @@ def test_planned_round_sizes_covers_shrink_ladder():
                                max_batch=8) == [8]
     no_shrink = dataclasses.replace(cfg, stop_shrink=False)
     assert planned_round_sizes(no_shrink, shape, 8, max_batch=8) == [8]
+    # run()'s shrink gate also requires a single device and no
+    # checkpointing — the plan mirrors it exactly
+    assert planned_round_sizes(cfg, shape, 8, max_batch=8,
+                               mesh_devices=2) == [8]
+    assert planned_round_sizes(cfg, shape, 8, max_batch=8,
+                               checkpointing=True) == [8]
