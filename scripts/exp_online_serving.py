@@ -142,6 +142,9 @@ def main():
         for _ in wb.run(iters_num=args.stream_every,
                         stream_every=args.stream_every, yield_images=False):
             pass
+        # with --stop-tol: the fused shrink-gather executables too (no-op
+        # otherwise), mirroring warmup_serving
+        wb.warm_shrink_gathers()
 
     print("[run] semaphore executor (reference scheduling) ...",
           file=sys.stderr)

@@ -70,11 +70,15 @@ def main():
                                 for p in range((n_jobs - 1).bit_length())})
     for size in ladder:
         t0 = time.perf_counter()
-        wb = BatchedTransferJob([content] * size, [style] * size, base)
+        # warm with the STOP config (same graph key — stop knobs are
+        # host-side) so warm_shrink_gathers engages and the timed arms
+        # never compile a shrink-gather executable
+        wb = BatchedTransferJob([content] * size, [style] * size, stop)
         for _ in wb.run(iters_num=chunk, yield_images=False):
             pass
-        print(f"warmup batch-{size}: {time.perf_counter() - t0:.1f}s",
-              flush=True)
+        n_gathers = wb.warm_shrink_gathers()
+        print(f"warmup batch-{size}: {time.perf_counter() - t0:.1f}s "
+              f"(+{n_gathers} shrink-gather executables)", flush=True)
 
     timed_run("no-stop", contents, styles, base, iters)
     timed_run(f"stop_tol={tol:g}+shrink", contents, styles, stop, iters)
