@@ -55,6 +55,25 @@ def _gather_rows(tree, idx):
     per (structure, old→new shape) pair."""
     return jax.tree_util.tree_map(lambda leaf: leaf[idx], tree)
 
+
+def shrink_target(n_still: int, jobs_axis: int = 1) -> int:
+    """The batch size convergence shrinking re-forms `n_still` live jobs
+    at: the next power of two (the serving warmup's padded-size ladder),
+    rounded up to a jobs-axis multiple so a mesh-sharded batch stays
+    evenly divisible across the 'jobs' axis."""
+    tgt = 1 << (n_still - 1).bit_length()
+    return -(-tgt // jobs_axis) * jobs_axis
+
+
+def shrink_ladder(size: int, jobs_axis: int = 1) -> List[int]:
+    """Every batch size reachable from `size` by convergence shrinking
+    (ascending) — exactly the sizes whose gather/chunk executables a
+    warmup must cover. Derived from shrink_target so the run() dispatch
+    rule and the warmed ladder cannot desynchronize."""
+    return sorted({t for t in (shrink_target(n, jobs_axis)
+                               for n in range(1, size))
+                   if t < size})
+
 # Gate for the fully-constrained space-sharded graph: the LOWEST pyramid
 # level's shortest side must be >= 32 * space. Below it, two observed
 # failure modes (round 4, CPU virtual mesh):
@@ -238,6 +257,7 @@ class BatchedTransferJob:
             cfg = dataclasses.replace(cfg, pool_impl="slices")
             self.cfg = cfg
 
+        self._use_space = use_space
         n_space = (mesh.shape["space"] if use_space else 1)
         batch_warning = cfg.optimizer == "lbfgs" and (self.batch > 1
                                                       or n_space > 1)
@@ -278,27 +298,67 @@ class BatchedTransferJob:
 
     def warm_shrink_gathers(self) -> int:
         """Precompile the fused `_gather_rows` executable for every
-        (this batch → smaller power-of-two) pair convergence shrinking
+        (this batch → smaller ladder size) pair convergence shrinking
         can dispatch (run()'s shrink gate permitting); returns how many
         were compiled. Pure AOT lower+compile on abstract shapes — zero
         device work, and it feeds the same dispatch cache the live jit
         call hits (measured: first real call ~3 ms after an AOT warm).
-        Without it, a live serving batch stalls on `_gather_rows`' cold
-        compile at its FIRST shrink (~20s through a remote tunnel) —
-        the exact mid-serve stall warmup exists to prevent."""
+        On a multi-device mesh the executable is keyed on the input
+        SHARDINGS too, so the warm attaches the shardings the live gather
+        sees — the CHUNK's output shardings, since run() only ever
+        gathers chunk outputs. GSPMD's propagation rule for them is
+        stable and verified against live chunk dispatches (Adam on a
+        jobs mesh, L-BFGS on a jobs×space mesh): leading batch axis on
+        'jobs', the pixel axis on 'space' iff space sharding engaged,
+        trailing None components stripped (XLA's normalized form);
+        targets keep their placement shardings (they are non-donated
+        inputs, so run() gathers self.targets itself) and sel is
+        replicated, matching run()'s device_put. Without the warm, a
+        live serving batch stalls on `_gather_rows`' cold compile at its
+        FIRST shrink (~20s through a remote tunnel) — the exact
+        mid-serve stall warmup exists to prevent."""
         if not (self.cfg.stop_tol > 0.0 and self.cfg.stop_shrink
-                and self.batch > 1
-                and (self.mesh is None or self.mesh.devices.size == 1)):
+                and self.batch > 1):
             return 0
-        x_sds = jax.ShapeDtypeStruct(self._x0.shape, self._x0.dtype)
-        f_sds = jax.ShapeDtypeStruct((self.batch,), jnp.float32)
-        opt_sds = jax.eval_shape(self._init_fn, self.params, self.targets,
-                                 x_sds)
-        tgt_sds = jax.tree_util.tree_map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.targets)
+        multi = self.mesh is not None and self.mesh.devices.size > 1
+        jobs_axis = (dict(self.mesh.shape).get("jobs", 1)
+                     if self.mesh is not None else 1)
+        n_pix = self._x0.shape[-1]
+
+        def chunk_out_sharding(shape):
+            parts = ["jobs"] + [None] * (len(shape) - 1)
+            if self._use_space and len(shape) >= 2 and shape[-1] == n_pix:
+                parts[-1] = "space"
+            while parts and parts[-1] is None:
+                parts.pop()
+            return NamedSharding(self.mesh, P(*parts))
+
+        def sds(a):
+            if multi:
+                return jax.ShapeDtypeStruct(
+                    a.shape, a.dtype, sharding=chunk_out_sharding(a.shape))
+            return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        x_sds = sds(self._x0)
+        opt_sds = jax.tree_util.tree_map(
+            sds, jax.eval_shape(self._init_fn, self.params, self.targets,
+                                jax.ShapeDtypeStruct(self._x0.shape,
+                                                     self._x0.dtype)))
+        f_sds = sds(jax.ShapeDtypeStruct((self.batch,), jnp.float32))
+        if multi:
+            tgt_sds = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding),
+                self.targets)
+            sel_sharding = {"sharding": NamedSharding(self.mesh, P())}
+        else:
+            tgt_sds = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                self.targets)
+            sel_sharding = {}
         n = 0
-        for p in range((self.batch - 1).bit_length()):
-            sel_sds = jax.ShapeDtypeStruct((1 << p,), jnp.int32)
+        for t in shrink_ladder(self.batch, jobs_axis):
+            sel_sds = jax.ShapeDtypeStruct((t,), jnp.int32, **sel_sharding)
             _gather_rows.lower((x_sds, f_sds, opt_sds, tgt_sds),
                                sel_sds).compile()
             n += 1
@@ -367,12 +427,15 @@ class BatchedTransferJob:
         # fetch handle is an on-device copy.
         # Convergence early-stop (cfg.stop_tol > 0): a job whose relative
         # loss change over a chunk is <= tol is DONE. With cfg.stop_shrink
-        # (and no checkpointing / multi-device mesh — V1 scope) a done job
-        # leaves the batch at the chunk boundary — its result freezes
-        # there, exactly like a single-job stop — and the remaining jobs
-        # re-form at the next power-of-two batch size (the serving warmup
-        # set; XLA compiles one executable per size, the vmapped jit
-        # itself is size-agnostic). Without shrinking the whole group
+        # (and no checkpointing — the fingerprint pins the batch size) a
+        # done job leaves the batch at the chunk boundary — its result
+        # freezes there, exactly like a single-job stop — and the
+        # remaining jobs re-form at the next power-of-two batch size
+        # rounded up to a jobs-axis multiple (the serving warmup set; XLA
+        # compiles one executable per size, the vmapped jit itself is
+        # size-agnostic). On a multi-device mesh the gathered state is
+        # re-placed with its pre-gather shardings so the shrunken batch
+        # keeps riding the mesh. Without shrinking the whole group
         # stops once EVERY job has converged at least once — latched (the
         # slowest lane gates — measured -10% wall vs -41% for per-job
         # scheduling at the 8-job serving shape, PARITY.md). Needs a
@@ -381,8 +444,10 @@ class BatchedTransferJob:
         check_stop = cfg.stop_tol > 0.0
         lookahead = yield_images and cfg.pipeline_streaming and not check_stop
         pending = None  # (done, x_fetch, f) dispatched, not yet yielded
-        shrink = (check_stop and cfg.stop_shrink and not checkpoint_path
-                  and (self.mesh is None or self.mesh.devices.size == 1))
+        shrink = check_stop and cfg.stop_shrink and not checkpoint_path
+        reshard = self.mesh is not None and self.mesh.devices.size > 1
+        jobs_axis = (dict(self.mesh.shape).get("jobs", 1)
+                     if self.mesh is not None else 1)
         # lane -> original job index; None = padding replica (initial
         # mesh/pad_batch_to padding, or re-padding after a shrink)
         lane_orig: List[Optional[int]] = (
@@ -476,7 +541,7 @@ class BatchedTransferJob:
                 if ready and not still:
                     converged = True  # every remaining job is done
                 elif ready and still and shrink and done < iters:
-                    tgt = 1 << (len(still) - 1).bit_length()
+                    tgt = shrink_target(len(still), jobs_axis)
                     if tgt < len(lane_orig):
                         # freeze the converged jobs' results NOW (the next
                         # dispatch donates x), then gather the remaining
@@ -495,8 +560,27 @@ class BatchedTransferJob:
                         # one fused gather for the whole carried state
                         # (f included: the yield below needs this chunk's
                         # loss vector lane-aligned with the shrunken batch)
+                        sel_dev = jnp.asarray(sel, dtype=jnp.int32)
+                        if reshard:
+                            # pre-gather shardings, re-applied below: the
+                            # ladder keeps tgt a jobs-axis multiple, so
+                            # every spec divides the smaller batch; a
+                            # replicated sel keeps the gather executable
+                            # deterministic (= what the warmup compiled)
+                            shards = jax.tree_util.tree_map(
+                                lambda a: a.sharding,
+                                (x, f, opt_state, targets))
+                            sel_dev = jax.device_put(
+                                sel_dev, NamedSharding(self.mesh, P()))
                         x, f, opt_state, targets = _gather_rows(
-                            (x, f, opt_state, targets), jnp.asarray(sel))
+                            (x, f, opt_state, targets), sel_dev)
+                        if reshard:
+                            # the jit-chosen gather output shardings need
+                            # not match what the next chunk's (warmed)
+                            # executable expects — one device-to-device
+                            # re-placement restores them
+                            x, f, opt_state, targets = jax.device_put(
+                                (x, f, opt_state, targets), shards)
                         f_np = f_np[sel]
                         lane_orig = ([lane_orig[ln] for ln in still]
                                      + [None] * (tgt - len(still)))
@@ -725,15 +809,16 @@ def planned_round_sizes(cfg: Config, content_shape: tuple, n_jobs: int,
             size = -(-size // jobs_axis) * jobs_axis
         sizes.add(size)
     if (cfg.stop_tol > 0.0 and cfg.stop_shrink and policy != "sequential"
-            and jobs_axis == 1 and mesh_devices <= 1 and not checkpointing):
+            and not checkpointing):
         # convergence shrinking (BatchedTransferJob.run) re-forms a batch
-        # down the power-of-two ladder as jobs exit; those executables are
-        # part of what a round can dispatch. The gate here mirrors run()'s
-        # shrink gate exactly (single device, no checkpointing — V1
-        # scope): warming ladder sizes a queue can never dispatch wastes
+        # down the power-of-two ladder (rounded up to jobs-axis multiples
+        # on a mesh) as jobs exit; those executables are part of what a
+        # round can dispatch. The gate here mirrors run()'s shrink gate
+        # exactly (no checkpointing — the fingerprint pins the batch
+        # size): warming ladder sizes a queue can never dispatch wastes
         # multi-minute compiles.
         for size in list(sizes):
-            sizes.update(1 << p for p in range((size - 1).bit_length()))
+            sizes.update(shrink_ladder(size, jobs_axis))
     return sorted(sizes)
 
 

@@ -683,3 +683,71 @@ def test_run_job_queue_stop_tol_reports_completion(jobs_data, vgg_params):
     for tid in ("a", "b"):
         last = [s for s in seen if s[0] == tid][-1]
         assert last[1] == 100.0 and last[2] is not None
+
+
+def test_stop_shrink_on_jobs_mesh(jobs_data, vgg_params, capsys):
+    """Convergence shrinking on a multi-device jobs mesh: the shrink
+    target is rounded up to a jobs-axis multiple, the fused gather's
+    output is re-placed with its pre-gather shardings (run()'s reshard
+    path), frozen jobs stay bit-stable and survivors keep optimizing on
+    the mesh. No cross-comparison against the unmeshed run: SPMD
+    partitioning legitimately changes rounding, and over 20+ Adam steps
+    the trajectories diverge by percents (enough to flip borderline
+    latches). Calibration (canonical test env, MESH trajectory, probed
+    like the goldens): at tol=0.20 the step-20 relative changes are
+    0.252 / 0.377 / 0.044 / 0.114, so jobs 2-3 latch at step 20 and
+    jobs 0-1 run to the 30-step budget."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=30, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=0.20)
+    mesh = jobs_mesh(2)
+    b = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
+                           mesh=mesh)
+    # mesh ladder for batch 4 on jobs=2 is {2}: one gather to warm, and
+    # the warm attaches the mesh shardings (it must not be a no-op)
+    assert b.warm_shrink_gathers() == 1
+    out = list(b.run(yield_images=False))
+    assert "batch 4 -> 2" in capsys.readouterr().err
+
+    assert [d for d, _, _ in out] == [5, 10, 15, 20, 25, 30]
+    losses = {d: np.asarray(l) for d, _i, l in out}
+    assert all(l.shape == (4,) and np.isfinite(l).all()
+               for l in losses.values())
+    # jobs 2-3 left the batch at step 20: their results froze there,
+    # bit-exactly, while jobs 0-1 kept improving in the shrunken batch
+    for j in (2, 3):
+        assert losses[30][j] == losses[20][j]
+    for j in (0, 1):
+        assert losses[30][j] < losses[20][j]
+    # the final materialize composes all four jobs' images
+    assert out[-1][1].shape[0] == 4
+
+
+def test_stop_shrink_on_space_mesh_lbfgs(jobs_data, vgg_params, capsys):
+    """Convergence shrinking with SPACE-sharded state: the fused gather
+    carries the L-BFGS history buffers (P('jobs', None, 'space')) and the
+    reshard device_put restores their specs on the smaller batch.
+    Deliberately minimal (3 steps, 2x2 mesh, history 2) per the SPMD
+    compile-cost convention above. Calibration (canonical test env, MESH
+    trajectory): L-BFGS flatlines at this shape — the step-2 relative
+    changes are 3.6e-4 / 0.0 / 4.1e-4 / 1.6e-4, so tol=2.5e-4 latches
+    jobs 1 and 3 at step 2 (exactly two survivors -> a 4 -> 2 shrink the
+    jobs-axis rounding permits) and the rest converge (change 0) at 3."""
+    contents, styles = jobs_data
+    cfg = Config(levels_num=1, iters_num=3, base_diameter=16,
+                 optimizer="lbfgs", stream_every=1, lbfgs_history=2,
+                 lbfgs_max_ls_steps=3, lbfgs_grams="incremental",
+                 stop_tol=2.5e-4)
+    mesh = jobs_space_mesh(2, 2)
+    b = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
+                           mesh=mesh, shard_space=True)
+    assert b.warm_shrink_gathers() == 1
+    out = list(b.run(yield_images=False))
+    assert "batch 4 -> 2" in capsys.readouterr().err
+    assert [d for d, _, _ in out] == [1, 2, 3]
+    done, imgs, losses = out[-1]
+    assert imgs.shape[0] == 4 and losses.shape == (4,)
+    assert np.isfinite(np.asarray(losses)).all()
+    # jobs 1 and 3 froze at their step-2 values
+    at2 = np.asarray([o for o in out if o[0] == 2][0][2])
+    assert losses[1] == at2[1] and losses[3] == at2[3]

@@ -603,15 +603,15 @@ def test_planned_round_sizes_covers_shrink_ladder():
     shape = (16, 24, 3)
     assert planned_round_sizes(cfg, shape, 8, max_batch=8) == [1, 2, 4, 8]
     assert planned_round_sizes(cfg, shape, 3, max_batch=8) == [1, 2, 4]
-    # shrinking is V1-gated off on a multi-device jobs axis and when
-    # stop_shrink is explicitly disabled
+    # on a multi-device jobs axis the ladder is rounded up to jobs-axis
+    # multiples (run()'s shrink_target rule)
     assert planned_round_sizes(cfg, shape, 8, jobs_axis=4,
-                               max_batch=8) == [8]
+                               max_batch=8) == [4, 8]
+    assert planned_round_sizes(cfg, shape, 8, max_batch=8,
+                               mesh_devices=2) == [1, 2, 4, 8]
     no_shrink = dataclasses.replace(cfg, stop_shrink=False)
     assert planned_round_sizes(no_shrink, shape, 8, max_batch=8) == [8]
-    # run()'s shrink gate also requires a single device and no
-    # checkpointing — the plan mirrors it exactly
-    assert planned_round_sizes(cfg, shape, 8, max_batch=8,
-                               mesh_devices=2) == [8]
+    # run()'s shrink gate still excludes checkpointing (the checkpoint
+    # fingerprint pins the batch size) — the plan mirrors it exactly
     assert planned_round_sizes(cfg, shape, 8, max_batch=8,
                                checkpointing=True) == [8]
