@@ -103,6 +103,22 @@ class Config:
                                         # meaningful with
                                         # lbfgs_direction='matrix'.) See
                                         # engine/lbfgs.py::_update_grams.
+    lbfgs_state_dtype: str = "float32"  # storage dtype of the (m, n) s/y
+                                        # history buffers: 'float32'
+                                        # (parity/default) | 'bfloat16'
+                                        # (pairs quantized once at store
+                                        # time; all contractions still
+                                        # accumulate f32). Halves BOTH the
+                                        # history's HBM footprint — the
+                                        # capacity limit that forces
+                                        # --lbfgs-history 10 on
+                                        # 3level+/2K jobs (see
+                                        # engine/transfer.py::
+                                        # lbfgs_history_gb) — and the
+                                        # direction's streamed bandwidth.
+                                        # rho and the (m, m) Grams stay
+                                        # f32. See
+                                        # engine/lbfgs.py::init_state.
 
     # --- TPU-native knobs (no reference counterpart) ---
     base_diameter: int = 256            # level-0 shortest side
@@ -219,9 +235,13 @@ class Config:
                                         # Each new size pays one XLA
                                         # compile (the serving warmup set
                                         # is exactly these power-of-two
-                                        # sizes). Host-side only; disabled
-                                        # under checkpointing or a
-                                        # multi-device mesh (V1 scope).
+                                        # sizes; on a multi-device mesh
+                                        # the ladder rounds up to
+                                        # jobs-axis multiples). Host-side
+                                        # only; disabled under
+                                        # checkpointing (the checkpoint
+                                        # fingerprint pins the batch
+                                        # size).
 
 
 # ---------------------------------------------------------------------------

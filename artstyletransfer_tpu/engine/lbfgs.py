@@ -68,19 +68,30 @@ LossGradFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
 
 def init_state(loss_grad: LossGradFn, x: jax.Array, history: int,
-               track_grams: bool = False) -> LbfgsState:
+               track_grams: bool = False,
+               state_dtype: Optional[jnp.dtype] = None) -> LbfgsState:
     """Initial state; performs the first loss/grad evaluation.
 
     track_grams: carry the (m, m) S Yᵀ / Y Yᵀ Gram matrices in the state
     (zeros-initialized — every entry is masked by the validity of its
     history rows until the rows are stored) for the incremental
-    matrix-direction mode."""
+    matrix-direction mode.
+
+    state_dtype: storage dtype of the big (m, n) s/y history buffers
+    (default: x.dtype). bfloat16 halves both their HBM footprint (the
+    capacity limit on 3level+/history=100 configs — config.lbfgs_history)
+    and the direction's streamed bandwidth; the m-sized rho and the
+    (m, m) Grams stay in x.dtype (they are tiny and carry the
+    curvature scalars). The stored pairs are quantized once at store
+    time; every contraction accumulates in f32
+    (preferred_element_type) so no further precision is lost."""
     f, g = loss_grad(x)
     n = x.shape[0]
+    hdt = x.dtype if state_dtype is None else state_dtype
     grams = jnp.zeros((history, history), x.dtype) if track_grams else None
     return LbfgsState(
-        s_hist=jnp.zeros((history, n), x.dtype),
-        y_hist=jnp.zeros((history, n), x.dtype),
+        s_hist=jnp.zeros((history, n), hdt),
+        y_hist=jnp.zeros((history, n), hdt),
         rho=jnp.zeros((history,), x.dtype),
         count=jnp.int32(0),
         f=f,
@@ -115,8 +126,12 @@ def _two_loop_direction_loop(g: jax.Array, state: LbfgsState) -> jax.Array:
     q, alphas = lax.fori_loop(0, m, first_loop, (g, jnp.zeros((m,), g.dtype)))
 
     newest = jnp.mod(state.count - 1, m)
-    sy = jnp.dot(state.s_hist[newest], state.y_hist[newest])
-    yy = jnp.dot(state.y_hist[newest], state.y_hist[newest])
+    # f32 accumulation for the gamma dots when the history is stored
+    # bf16 (no-op for f32 buffers)
+    sy = jnp.dot(state.s_hist[newest], state.y_hist[newest],
+                 preferred_element_type=g.dtype)
+    yy = jnp.dot(state.y_hist[newest], state.y_hist[newest],
+                 preferred_element_type=g.dtype)
     gamma = jnp.where(state.count > 0, sy / jnp.maximum(yy, 1e-20), 1.0)
     r = gamma * q
 
@@ -175,15 +190,23 @@ def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
     # In the incremental mode (lbfgs_grams='incremental') the Grams are
     # carried in the state and refreshed one row+column per step
     # (_update_grams), skipping the 4·m²·n-FLOP recompute here.
+    # With bf16-stored history (config.lbfgs_state_dtype) the non-buffer
+    # operand is quantized to the buffers' dtype so the contraction runs
+    # MXU-native bf16×bf16 (no f32 promotion re-materializing the
+    # buffers) and accumulates in f32 via preferred_element_type; in the
+    # f32 case astype/preferred_element_type are no-ops and the lowering
+    # is bitwise the r3/r4 graph.
+    acc = dict(precision=hi, preferred_element_type=dtype)
+    g_h = g.astype(S.dtype)
     if state.sy_gram is not None:
         P, Q = state.sy_gram, state.yy_gram
     else:
-        P = jnp.einsum("mn,kn->mk", S, Y, precision=hi)    # S Yᵀ
-        Q = jnp.einsum("mn,kn->mk", Y, Y, precision=hi)    # Y Yᵀ
+        P = jnp.einsum("mn,kn->mk", S, Y, **acc)           # S Yᵀ
+        Q = jnp.einsum("mn,kn->mk", Y, Y, **acc)           # Y Yᵀ
     A_sy = P[ix][:, ix]                        # (m, m) age-ordered S Yᵀ
     B_yy = Q[ix][:, ix]                        # (m, m) age-ordered Y Yᵀ
-    u = jnp.einsum("mn,n->m", S, g, precision=hi)[ix] * valid   # s̃_jᵀ g
-    v = jnp.einsum("mn,n->m", Y, g, precision=hi)[ix] * valid   # ỹ_jᵀ g
+    u = jnp.einsum("mn,n->m", S, g_h, **acc)[ix] * valid   # s̃_jᵀ g
+    v = jnp.einsum("mn,n->m", Y, g_h, **acc)[ix] * valid   # ỹ_jᵀ g
     rho_t = state.rho[ix] * valid
 
     # alpha recursion: a_j depends on strictly newer (smaller-age) a_i
@@ -215,8 +238,8 @@ def _two_loop_direction_matrix(g: jax.Array, state: LbfgsState) -> jax.Array:
     coef_s = jnp.zeros((m,), dtype).at[ix].set((alpha - beta) * valid)
     coef_y = jnp.zeros((m,), dtype).at[ix].set(-gamma * alpha * valid)
     r = (gamma * g
-         + jnp.einsum("m,mn->n", coef_s, S, precision=hi)
-         + jnp.einsum("m,mn->n", coef_y, Y, precision=hi))
+         + jnp.einsum("m,mn->n", coef_s.astype(S.dtype), S, **acc)
+         + jnp.einsum("m,mn->n", coef_y.astype(Y.dtype), Y, **acc))
     return -r
 
 
@@ -235,12 +258,19 @@ def _update_grams(sy_gram: jax.Array, yy_gram: jax.Array,
     unchanged. The diagonal entry P[idx, idx] is set to the step's own
     `ys` dot so gamma and rho read the identical value. Store-gated like
     the buffer update itself. precision=HIGHEST for the same reason as
-    the direction's contractions (bf16 MXU truncation of f32 operands).
+    the direction's contractions (bf16 MXU truncation of f32 operands);
+    with bf16-stored history (config.lbfgs_state_dtype) the fresh s/y
+    operands are quantized to the buffers' dtype first (= exactly the
+    values the buffer update stores, so every entry still equals a dot
+    of the CURRENT buffer rows) and the contraction accumulates in f32
+    via preferred_element_type — both no-ops in the f32 case.
     """
     hi = jax.lax.Precision.HIGHEST
-    p_row = jnp.einsum("n,kn->k", s, y_hist, precision=hi)   # s · y_k
-    p_col = jnp.einsum("mn,n->m", s_hist, y, precision=hi)   # s_m · y
-    q_row = jnp.einsum("n,kn->k", y, y_hist, precision=hi)   # y · y_k
+    acc = dict(precision=hi, preferred_element_type=sy_gram.dtype)
+    s_q, y_q = s.astype(s_hist.dtype), y.astype(y_hist.dtype)
+    p_row = jnp.einsum("n,kn->k", s_q, y_hist, **acc)   # s · y_k
+    p_col = jnp.einsum("mn,n->m", s_hist, y_q, **acc)   # s_m · y
+    q_row = jnp.einsum("n,kn->k", y_q, y_hist, **acc)   # y · y_k
     new_p = sy_gram.at[idx, :].set(p_row).at[:, idx].set(p_col)
     new_p = new_p.at[idx, idx].set(ys)
     new_q = yy_gram.at[idx, :].set(q_row).at[:, idx].set(q_row)
@@ -534,8 +564,14 @@ def lbfgs_step(loss_grad: LossGradFn, x: jax.Array, state: LbfgsState,
     store = (ys > 1e-10) & ~skip
 
     idx = jnp.mod(state.count, m)
-    s_hist = jnp.where(store, state.s_hist.at[idx].set(s), state.s_hist)
-    y_hist = jnp.where(store, state.y_hist.at[idx].set(y), state.y_hist)
+    # quantize once at store time when the history is kept in a narrower
+    # dtype (config.lbfgs_state_dtype); a no-op astype for f32 buffers
+    s_hist = jnp.where(store,
+                       state.s_hist.at[idx].set(s.astype(state.s_hist.dtype)),
+                       state.s_hist)
+    y_hist = jnp.where(store,
+                       state.y_hist.at[idx].set(y.astype(state.y_hist.dtype)),
+                       state.y_hist)
     rho = jnp.where(store, state.rho.at[idx].set(1.0 / jnp.maximum(ys, 1e-20)),
                     state.rho)
     count = state.count + store.astype(jnp.int32)

@@ -202,7 +202,7 @@ def _config_key(cfg: Config, level_shapes, space_mesh=None) -> tuple:
             cfg.stream_every, cfg.lr_start, cfg.lr_decay,
             cfg.lr_decay_per_eval,
             cfg.lbfgs_history, cfg.lbfgs_max_ls_steps, cfg.lbfgs_direction,
-            cfg.lbfgs_t_init, cfg.lbfgs_grams,
+            cfg.lbfgs_t_init, cfg.lbfgs_grams, cfg.lbfgs_state_dtype,
             cfg.remat_levels,
             cfg.pool_impl, cfg.use_pallas and _on_tpu(),
             cfg.fused_style_bwd,
@@ -211,12 +211,15 @@ def _config_key(cfg: Config, level_shapes, space_mesh=None) -> tuple:
 
 def lbfgs_history_gb(cfg: Config, level_shapes, batch: int = 1,
                      space: int = 1) -> float:
-    """PER-DEVICE HBM the L-BFGS s/y history buffers need, in GB (f32
-    pairs). `space` = size of the mesh's space axis the pixel dim is
-    sharded over (the history rows shard with it — proven per-device by
-    scripts/space_memory.py)."""
+    """PER-DEVICE HBM the L-BFGS s/y history buffers need, in GB.
+    `space` = size of the mesh's space axis the pixel dim is sharded
+    over (the history rows shard with it — proven per-device by
+    scripts/space_memory.py). Respects cfg.lbfgs_state_dtype (bf16
+    storage halves the footprint)."""
     n_pixels = int(np.prod(level_shapes[0]))
-    return 2 * cfg.lbfgs_history * n_pixels * 4 * batch / space / 1e9
+    bytes_per = 2 if cfg.lbfgs_state_dtype == "bfloat16" else 4
+    return (2 * cfg.lbfgs_history * n_pixels * bytes_per * batch
+            / space / 1e9)
 
 
 def warn_lbfgs_hbm(cfg: Config, level_shapes, batch: int = 1,
@@ -231,10 +234,12 @@ def warn_lbfgs_hbm(cfg: Config, level_shapes, batch: int = 1,
 
     jobs = f"{batch} jobs x " if batch > 1 else ""
     shard = f" over {space} chips" if space > 1 else ""
+    dt_hint = ("" if cfg.lbfgs_state_dtype == "bfloat16"
+               else "--lbfgs-state-dtype bfloat16 (halves it), ")
     print(f"warning: L-BFGS history buffers need ~{hist_gb:.1f} GB per "
           f"device{shard} ({jobs}history={cfg.lbfgs_history}); consider "
-          f"--lbfgs-history 10, sharding the pixels over more chips "
-          f"(astt-queue --space N), or a smaller batch/resolution",
+          f"{dt_hint}--lbfgs-history 10, sharding the pixels over more "
+          f"chips (astt-queue --space N), or a smaller batch/resolution",
           file=sys.stderr)
     return True
 
@@ -288,6 +293,12 @@ def _build_runners(cfg: Config, level_shapes, warn_hbm: bool = True,
         if cfg.lbfgs_grams not in ("recompute", "incremental"):
             raise ValueError(f"unknown lbfgs_grams {cfg.lbfgs_grams!r}; "
                              "expected 'recompute' or 'incremental'")
+        if cfg.lbfgs_state_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown lbfgs_state_dtype {cfg.lbfgs_state_dtype!r}; "
+                "expected 'float32' or 'bfloat16'")
+        state_dtype = (jnp.bfloat16 if cfg.lbfgs_state_dtype == "bfloat16"
+                       else None)
         # Gram carrying only pays on the matrix direction (the loop form
         # never builds the Grams); 'incremental' with direction='loop'
         # would compute GEMV updates nothing reads.
@@ -297,7 +308,8 @@ def _build_runners(cfg: Config, level_shapes, warn_hbm: bool = True,
         def init_fn(params, targets, x):
             lg = partial(loss_grad, params, targets)
             return lbfgs_mod.init_state(lg, x, cfg.lbfgs_history,
-                                        track_grams=track_grams)
+                                        track_grams=track_grams,
+                                        state_dtype=state_dtype)
 
         def one_step(params, targets, x, opt_state, step):
             lg = partial(loss_grad, params, targets)

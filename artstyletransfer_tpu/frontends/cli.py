@@ -127,6 +127,14 @@ def add_engine_flags(p: argparse.ArgumentParser) -> None:
                         "optimizer state and refresh one row+column per "
                         "step (same matrices up to dot-order ulps; wins "
                         "at large history)")
+    p.add_argument("--lbfgs-state-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="storage dtype of the (m, n) L-BFGS history "
+                        "buffers: float32 (default) or bfloat16 (pairs "
+                        "quantized at store time, f32 accumulation — "
+                        "halves the history's HBM footprint and streamed "
+                        "bandwidth; enables history=100 at sizes where "
+                        "f32 history exceeds a chip's HBM)")
     p.add_argument("--lr-start", type=float, default=None,
                    help=f"initial learning rate (default {d.lr_start})")
     p.add_argument("--lr-decay", type=float, default=None,
@@ -208,6 +216,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         "lbfgs_direction": "lbfgs_direction",
         "lbfgs_t_init": "lbfgs_t_init",
         "lbfgs_grams": "lbfgs_grams",
+        "lbfgs_state_dtype": "lbfgs_state_dtype",
         "lr_start": "lr_start", "lr_decay": "lr_decay",
         "lr_decay_per_eval": "lr_decay_per_eval",
         "seed": "seed", "demo_normal_noise": "demo_normal_noise",

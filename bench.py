@@ -120,6 +120,28 @@ BENCH_CONFIGS = {
                               lbfgs_t_init="unit",
                               compute_dtype="bfloat16", _chunk=10,
                               _steps=100),
+    # r4: bf16-stored L-BFGS history (config.lbfgs_state_dtype) at the
+    # full production stack (unit trial + carried Grams) — halves the
+    # (m, n) pair buffers' HBM footprint and the direction's streamed
+    # bandwidth; pairs quantized at store time, all contractions
+    # accumulate f32 (engine/lbfgs.py)
+    "lbfgs3level1024unitsd16": dict(levels_num=3, base_diameter=256,
+                                    optimizer="lbfgs", lbfgs_t_init="unit",
+                                    lbfgs_grams="incremental",
+                                    lbfgs_state_dtype="bfloat16",
+                                    compute_dtype="bfloat16", _steps=150),
+    # r4: the reference's max-quality combination (levels_num=4 + its
+    # default optimizer, reference config.py:9,12) AT torch's
+    # history_size=100 DEFAULT on one 16 GB chip: bf16 pair buffers are
+    # ~7.6 GB where f32 needs ~15.1 GB (the reason the rows above run
+    # history=10)
+    "lbfgs4level2kh100sd16": dict(levels_num=4, base_diameter=256,
+                                  optimizer="lbfgs", lbfgs_history=100,
+                                  lbfgs_t_init="unit",
+                                  lbfgs_grams="incremental",
+                                  lbfgs_state_dtype="bfloat16",
+                                  compute_dtype="bfloat16", _chunk=10,
+                                  _steps=100),
     # batched multi-job throughput (vmapped batch of 8 identical-shape
     # jobs on one chip); reported in job-steps/sec
     "batch8x1level256": dict(levels_num=1, base_diameter=256, _batch=8),

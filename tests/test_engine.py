@@ -830,3 +830,116 @@ def test_warm_shrink_gathers_precompiles_ladder(images, vgg_params):
     b_off = BatchedTransferJob([content] * 4, [style] * 4, off,
                                params=vgg_params)
     assert b_off.warm_shrink_gathers() == 0
+
+
+def test_lbfgs_state_dtype_bf16_minimizes_quadratic():
+    """lbfgs_state_dtype='bfloat16': the (m, n) history buffers are stored
+    bf16 (rho and the carried Grams stay f32), and full lbfgs_step
+    trajectories still reach the quadratic optimum — with and without the
+    incremental Grams, matrix and loop directions."""
+    rng = np.random.default_rng(3)
+    n = 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    A = a @ a.T + np.eye(n, dtype=np.float32) * 0.5
+    b = rng.standard_normal(n).astype(np.float32)
+    x_opt = np.linalg.solve(A, b)
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def loss_grad(x):
+        return 0.5 * x @ A_j @ x - b_j @ x, A_j @ x - b_j
+
+    for impl, grams in (("matrix", False), ("matrix", True), ("loop", False)):
+        x = jnp.zeros(n)
+        state = lbfgs_mod.init_state(loss_grad, x, history=8,
+                                     track_grams=grams,
+                                     state_dtype=jnp.bfloat16)
+        assert state.s_hist.dtype == jnp.bfloat16
+        assert state.y_hist.dtype == jnp.bfloat16
+        assert state.rho.dtype == jnp.float32
+        if grams:
+            assert state.sy_gram.dtype == jnp.float32
+        for _ in range(30):
+            x, state = lbfgs_mod.lbfgs_step(
+                loss_grad, x, state, jnp.float32(1.0), direction_impl=impl)
+        # bf16 curvature pairs (8-bit mantissa) reach the same optimum at
+        # a correspondingly looser tolerance
+        np.testing.assert_allclose(np.asarray(x), x_opt, rtol=2e-2,
+                                   atol=2e-2, err_msg=f"{impl}/{grams}")
+        if grams:
+            # the carried Grams still equal the exact Grams of the
+            # (quantized) buffers — f32 dots of the stored bf16 rows
+            sh = np.asarray(state.s_hist).astype(np.float32)
+            yh = np.asarray(state.y_hist).astype(np.float32)
+            got_p = np.asarray(state.sy_gram)
+            np.testing.assert_allclose(
+                got_p * (1 - np.eye(8)), (sh @ yh.T) * (1 - np.eye(8)),
+                rtol=1e-3, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(state.yy_gram), yh @ yh.T,
+                                       rtol=1e-3, atol=1e-5)
+
+
+def test_lbfgs_state_dtype_bf16_direction_close_to_f32():
+    """The direction computed from a bf16-quantized history is the f32
+    direction up to quantization noise (same history values cast down),
+    for partial and wrapped histories and both lowerings."""
+    rng = np.random.default_rng(11)
+    n, m = 257, 7
+
+    for count in (1, 3, m + 4):
+        s_rows = rng.standard_normal((m, n)).astype(np.float32) * 1e-2
+        y_rows = (s_rows * rng.uniform(0.5, 2.0, (m, 1)).astype(np.float32)
+                  + rng.standard_normal((m, n)).astype(np.float32) * 1e-3)
+        k = min(count, m)
+        live = [(count - 1 - j) % m for j in range(k)]
+        mask = np.zeros((m, 1), np.float32)
+        mask[live] = 1.0
+        rho = jnp.asarray(
+            (mask[:, 0] / np.maximum(
+                np.einsum("mn,mn->m", s_rows * mask, y_rows * mask),
+                1e-8)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        def state_for(dt):
+            return lbfgs_mod.LbfgsState(
+                s_hist=jnp.asarray(s_rows * mask).astype(dt),
+                y_hist=jnp.asarray(y_rows * mask).astype(dt),
+                rho=rho, count=jnp.int32(count), f=jnp.float32(0.0), g=g,
+                n_evals=jnp.int32(1), n_iter=jnp.int32(count))
+
+        d_f32 = np.asarray(lbfgs_mod._two_loop_direction(
+            g, state_for(jnp.float32), impl="matrix"))
+        for impl in ("matrix", "loop"):
+            d_bf16 = np.asarray(lbfgs_mod._two_loop_direction(
+                g, state_for(jnp.bfloat16), impl=impl))
+            assert d_bf16.dtype == np.float32  # direction stays f32
+            np.testing.assert_allclose(
+                d_bf16, d_f32, rtol=3e-2, atol=3e-2 * np.abs(d_f32).max(),
+                err_msg=f"count={count} impl={impl}")
+
+
+def test_lbfgs_state_dtype_engine_end_to_end(images, vgg_params):
+    """config.lbfgs_state_dtype='bfloat16' through the full engine: runs,
+    reduces the loss, compiles as a distinct graph (separate cache key =
+    checkpoint-fingerprint protection), halves the history HBM estimate,
+    and unknown values fail loudly."""
+    import dataclasses
+
+    from artstyletransfer_tpu.engine.transfer import (
+        _config_key, lbfgs_history_gb)
+
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=6, base_diameter=16,
+                 optimizer="lbfgs", stream_every=6, lbfgs_history=4,
+                 lbfgs_state_dtype="bfloat16")
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    start = job.initial_loss()
+    final = [f for _, _, f in job.run()][-1]
+    assert final < start
+    base = dataclasses.replace(cfg, lbfgs_state_dtype="float32")
+    assert (_config_key(cfg, job.level_shapes)
+            != _config_key(base, job.level_shapes))
+    assert lbfgs_history_gb(cfg, job.level_shapes) == pytest.approx(
+        0.5 * lbfgs_history_gb(base, job.level_shapes))
+    bad = dataclasses.replace(cfg, lbfgs_state_dtype="fp8")
+    with pytest.raises(ValueError, match="lbfgs_state_dtype"):
+        TransferJob(content, style, bad, params=vgg_params).initial_loss()
