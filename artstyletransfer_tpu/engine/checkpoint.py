@@ -24,6 +24,31 @@ import numpy as np
 
 _MAGIC = "astt-checkpoint-v1"
 
+# np.savez writes ml_dtypes extended dtypes (bfloat16 — the only one we
+# produce, via lbfgs_state_dtype='bfloat16') as raw void ('|V2'), which
+# np.load cannot map back to a real dtype: the resume-side dtype check then
+# rejects every bf16-history checkpoint with a misleading "different compute
+# dtype" error. Store such arrays as a same-width integer view plus the real
+# dtype name, and view back on load.
+_EXT_DTYPE_STORAGE = {"bfloat16": np.uint16}
+
+
+def _encode_array(v: np.ndarray):
+    """-> (storable array, real dtype name or None if natively storable)."""
+    name = v.dtype.name
+    store_as = _EXT_DTYPE_STORAGE.get(name)
+    if store_as is None:
+        return v, None
+    return v.view(store_as), name
+
+
+def _decode_array(v: np.ndarray, dtype_name: Optional[str]) -> np.ndarray:
+    if dtype_name is None:
+        return v
+    import ml_dtypes
+
+    return v.view(np.dtype(getattr(ml_dtypes, dtype_name)))
+
 
 def _flatten_state(tree: Any) -> Dict[str, np.ndarray]:
     leaves, treedef = jax.tree.flatten(tree)
@@ -39,16 +64,27 @@ def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
     device state — e.g. the convergence early-stop's latched/previous-loss
     bookkeeping (stop_tol), which must survive a resume or the resumed
     run would re-derive convergence later than the uninterrupted one."""
-    arrays = {"magic": np.array(_MAGIC), "x": np.asarray(x),
-              "step": np.array(step)}
+    import json
+
+    ext_dtypes: Dict[str, str] = {}
+
+    def put(key: str, v: np.ndarray) -> None:
+        stored, name = _encode_array(np.asarray(v))
+        arrays[key] = stored
+        if name is not None:
+            ext_dtypes[key] = name
+
+    arrays: Dict[str, np.ndarray] = {"magic": np.array(_MAGIC),
+                                     "step": np.array(step)}
+    put("x", x)
     if fingerprint is not None:
         arrays["fingerprint"] = np.array(fingerprint)
     if extra:
-        import json
-
         arrays["extra_json"] = np.array(json.dumps(extra))
     for k, v in _flatten_state(opt_state).items():
-        arrays[f"opt_{k}"] = v
+        put(f"opt_{k}", v)
+    if ext_dtypes:
+        arrays["ext_dtypes_json"] = np.array(json.dumps(ext_dtypes))
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:
@@ -68,9 +104,14 @@ def load_checkpoint(path: str, opt_state_template: Any,
     a checkpoint written under one graph config (optimizer, dtype, loss
     weights, shapes) must not silently resume a different one. Files
     written before fingerprints existed load as before."""
+    import json
+
     data = np.load(path, allow_pickle=False)
     if str(data["magic"]) != _MAGIC:
         raise ValueError(f"not an astt checkpoint: {path}")
+    ext_dtypes: Dict[str, str] = {}
+    if "ext_dtypes_json" in data:
+        ext_dtypes = json.loads(str(data["ext_dtypes_json"]))
     if fingerprint is not None and "fingerprint" in data:
         saved = str(data["fingerprint"])
         if saved != fingerprint:
@@ -82,7 +123,8 @@ def load_checkpoint(path: str, opt_state_template: Any,
     leaves, treedef = jax.tree.flatten(opt_state_template)
     new_leaves = []
     for i, leaf in enumerate(leaves):
-        arr = data[f"opt_leaf_{i}"]
+        key = f"opt_leaf_{i}"
+        arr = _decode_array(data[key], ext_dtypes.get(key))
         if arr.shape != np.shape(leaf):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected "
@@ -98,11 +140,10 @@ def load_checkpoint(path: str, opt_state_template: Any,
                 f"{want_dtype} (different compute dtype/config?)")
         new_leaves.append(arr)
     opt_state = jax.tree.unflatten(treedef, new_leaves)
+    x_out = _decode_array(data["x"], ext_dtypes.get("x"))
     if not with_extra:
-        return data["x"], opt_state, int(data["step"])
+        return x_out, opt_state, int(data["step"])
     extra = {}
     if "extra_json" in data:
-        import json
-
         extra = json.loads(str(data["extra_json"]))
-    return data["x"], opt_state, int(data["step"]), extra
+    return x_out, opt_state, int(data["step"]), extra

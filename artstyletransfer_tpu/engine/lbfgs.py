@@ -110,7 +110,17 @@ def _two_loop_direction_loop(g: jax.Array, state: LbfgsState) -> jax.Array:
     LATENCY-bound on TPU at production sizes (83.7 ms at m=100,
     n=4.7M where the pure-bandwidth cost is ~8 ms; scripts/exp_lbfgs1024.py,
     PARITY.md). Kept as the reference implementation and for tiny
-    histories; production uses the matrix form below."""
+    histories; production uses the matrix form below.
+
+    bf16-history asymmetry (config.lbfgs_state_dtype='bfloat16'): this
+    form contracts the bf16 rows against the FULL f32 g/q (type
+    promotion), while the matrix form quantizes g to the buffers' dtype
+    (g_h) before its projections to stay MXU-native. The two therefore
+    differ slightly beyond the shared quantization of the stored pairs —
+    an intentional trade (this form is the accuracy reference, that one
+    the fast path), not a bug to chase during parity debugging; see
+    tests/test_engine.py::test_lbfgs_state_dtype_bf16_direction_close_to_f32
+    for the measured envelope."""
     m = state.s_hist.shape[0]
     k = jnp.minimum(state.count, m)
 

@@ -6,6 +6,7 @@ import json
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from artstyletransfer_tpu.config import Config
@@ -78,6 +79,71 @@ def test_checkpoint_resume_exact_lbfgs_incremental_grams(images, vgg_params,
     # and a grams-mode checkpoint cannot silently resume a recompute run
     cfg_re = dataclasses.replace(cfg, lbfgs_grams="recompute")
     other = TransferJob(content, style, cfg_re, params=vgg_params)
+    with pytest.raises(ValueError, match="config"):
+        list(other.run(checkpoint_path=ckpt, checkpoint_every=100,
+                       resume=True))
+
+
+def test_checkpoint_bf16_leaves_roundtrip(tmp_path):
+    """np.savez stores ml_dtypes bfloat16 as raw '|V2'; the checkpoint
+    layer must view-encode such leaves (uint16 + recorded dtype name) so a
+    bf16-history run (config.lbfgs_state_dtype='bfloat16') can actually be
+    resumed instead of failing the dtype check on every load."""
+    from artstyletransfer_tpu.engine.checkpoint import (load_checkpoint,
+                                                        save_checkpoint)
+
+    rng = np.random.default_rng(7)
+    s = jnp.asarray(rng.standard_normal((4, 16)), dtype=jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((4, 16)), dtype=jnp.bfloat16)
+    rho = jnp.asarray(rng.standard_normal(4), dtype=jnp.float32)
+    state = {"s": s, "y": y, "rho": rho}
+    x = jnp.asarray(rng.standard_normal(16), dtype=jnp.float32)
+    path = str(tmp_path / "bf16.npz")
+    save_checkpoint(path, x, state, step=3, fingerprint="fp",
+                    extra={"k": 1})
+
+    template = jax.eval_shape(lambda: state)
+    x2, state2, step, extra = load_checkpoint(path, template,
+                                              fingerprint="fp",
+                                              with_extra=True)
+    assert step == 3 and extra == {"k": 1}
+    assert state2["s"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(state2["s"]), np.asarray(s))
+    np.testing.assert_array_equal(np.asarray(state2["y"]), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(state2["rho"]),
+                                  np.asarray(rho))
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+
+
+def test_checkpoint_resume_exact_lbfgs_bf16_state(images, vgg_params,
+                                                  tmp_path):
+    """End-to-end resume with bf16-stored history: the uint16 view encode
+    is lossless, so the resumed half must match the uninterrupted run
+    bit-exactly (same contract as the f32-state resume tests)."""
+    content, style = images
+    cfg = Config(levels_num=1, iters_num=8, base_diameter=16,
+                 optimizer="lbfgs", lbfgs_history=4,
+                 lbfgs_state_dtype="bfloat16", stream_every=4)
+    ckpt = str(tmp_path / "job.npz")
+
+    job = TransferJob(content, style, cfg, params=vgg_params)
+    full = [(d, img.copy(), f) for d, img, f in job.run()]
+
+    job2 = TransferJob(content, style, cfg, params=vgg_params)
+    half = list(job2.run(iters_num=4, checkpoint_path=ckpt,
+                         checkpoint_every=4))
+    assert half[-1][0] == 4
+
+    job3 = TransferJob(content, style, cfg, params=vgg_params)
+    resumed = list(job3.run(iters_num=8, checkpoint_path=ckpt,
+                            checkpoint_every=100, resume=True))
+    assert resumed[-1][0] == 8
+    np.testing.assert_array_equal(resumed[-1][1], full[-1][1])
+    np.testing.assert_array_equal(resumed[-1][2], full[-1][2])
+
+    # a bf16-state checkpoint must not silently resume an f32-state run
+    cfg_f32 = dataclasses.replace(cfg, lbfgs_state_dtype="float32")
+    other = TransferJob(content, style, cfg_f32, params=vgg_params)
     with pytest.raises(ValueError, match="config"):
         list(other.run(checkpoint_path=ckpt, checkpoint_every=100,
                        resume=True))
