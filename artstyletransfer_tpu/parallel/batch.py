@@ -257,6 +257,26 @@ class BatchedTransferJob:
             cfg = dataclasses.replace(cfg, pool_impl="slices")
             self.cfg = cfg
 
+        if (mesh is not None and mesh.devices.size > 1
+                and cfg.fused_style_bwd):
+            # GSPMD MISPARTITIONS the vmapped fused style backward: vmap's
+            # conv batching rule turns the per-job 1x1 backward conv
+            # (ops/losses.py::_style_layer_bwd) into a feature-grouped
+            # conv, and partitioning it with ANY input sharding — even
+            # plain batch sharding on 'jobs' — returned a ~98.5%-wrong
+            # style gradient (r5 minimal reproducer; finite differences
+            # side with the unsharded graph, and the divergence does not
+            # decay with tap size, so it is not the degenerate-tap class
+            # the constrained_space_ok gate fences). Autodiff's generated
+            # backward partitions exactly (rel 1e-8), so multi-device
+            # batched graphs fall back to it; the fused path (a
+            # single-chip MXU layout optimization, -23% step time at
+            # 1024px) stays on for single-device runs, where it is pinned
+            # exact by tests/test_ops.py.
+            import dataclasses
+            cfg = dataclasses.replace(cfg, fused_style_bwd=False)
+            self.cfg = cfg
+
         self._use_space = use_space
         n_space = (mesh.shape["space"] if use_space else 1)
         batch_warning = cfg.optimizer == "lbfgs" and (self.batch > 1

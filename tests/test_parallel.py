@@ -729,15 +729,17 @@ def test_stop_shrink_on_space_mesh_lbfgs(jobs_data, vgg_params, capsys):
     reshard device_put restores their specs on the smaller batch.
     Deliberately minimal (3 steps, 2x2 mesh, history 2) per the SPMD
     compile-cost convention above. Calibration (canonical test env, MESH
-    trajectory): L-BFGS flatlines at this shape — the step-2 relative
-    changes are 3.6e-4 / 0.0 / 4.1e-4 / 1.6e-4, so tol=2.5e-4 latches
-    jobs 1 and 3 at step 2 (exactly two survivors -> a 4 -> 2 shrink the
-    jobs-axis rounding permits) and the rest converge (change 0) at 3."""
+    trajectory — recalibrated in r5 after the GSPMD fused-style-backward
+    fence corrected mesh gradients, test_round5_fixes.py): L-BFGS
+    flatlines at this shape — the step-2 relative changes are
+    0.0 / 0.0 / 0.0 / 2.08, so any positive tol latches jobs 0-2 at
+    step 2 (one survivor -> a 4 -> 2 shrink after jobs-axis rounding)
+    while job 3 (change 0.37 at step 3) runs out the budget."""
     contents, styles = jobs_data
     cfg = Config(levels_num=1, iters_num=3, base_diameter=16,
                  optimizer="lbfgs", stream_every=1, lbfgs_history=2,
                  lbfgs_max_ls_steps=3, lbfgs_grams="incremental",
-                 stop_tol=2.5e-4)
+                 stop_tol=1e-8)
     mesh = jobs_space_mesh(2, 2)
     b = BatchedTransferJob(contents, styles, cfg, params=vgg_params,
                            mesh=mesh, shard_space=True)
@@ -748,6 +750,8 @@ def test_stop_shrink_on_space_mesh_lbfgs(jobs_data, vgg_params, capsys):
     done, imgs, losses = out[-1]
     assert imgs.shape[0] == 4 and losses.shape == (4,)
     assert np.isfinite(np.asarray(losses)).all()
-    # jobs 1 and 3 froze at their step-2 values
+    # jobs 0-2 froze at their step-2 values; job 3 kept optimizing
     at2 = np.asarray([o for o in out if o[0] == 2][0][2])
-    assert losses[1] == at2[1] and losses[3] == at2[3]
+    assert (losses[0] == at2[0] and losses[1] == at2[1]
+            and losses[2] == at2[2])
+    assert losses[3] != at2[3]
