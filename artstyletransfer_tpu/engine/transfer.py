@@ -179,7 +179,13 @@ def _compute_targets(params, content_levels_pre: List[jax.Array],
 # Compiled chunk runners (cached per shape+config)
 # --------------------------------------------------------------------------
 
-_COMPILE_CACHE: Dict[Any, Any] = {}
+from ..utils.cache import BoundedCache
+
+# LRU-bounded (ASTT_RUNNER_CACHE_SIZE, default 32): unbounded growth
+# accretes hundreds of live XLA executables in long-lived processes (the
+# test suite tripped an XLA-CPU segfault at that scale — see
+# utils/cache.BoundedCache)
+_COMPILE_CACHE = BoundedCache()
 
 
 class Runners(NamedTuple):

@@ -33,7 +33,10 @@ from ..engine.pyramid import build_input_pyramids, level_shape
 from ..models.weights import load_vgg19_params
 from ..utils.image import prepare_img, unprepare_img
 
-_BATCH_CACHE: Dict[Any, Any] = {}
+from ..utils.cache import BoundedCache
+
+# LRU-bounded like engine/transfer._COMPILE_CACHE (see utils/cache)
+_BATCH_CACHE = BoundedCache()
 
 
 def _raise_nonfinite_batch(bad, done, real_batch, cfg) -> None:
@@ -494,23 +497,31 @@ class BatchedTransferJob:
                      "latched": sorted(latched), "converged": converged}
                     if check_stop else None)
 
+        def lane_of():
+            # orig job index -> live lane, rebuilt per call (lane_orig
+            # shrinks); dict lookup keeps compose/materialize O(B)
+            return {orig: lane for lane, orig in enumerate(lane_orig)
+                    if orig is not None}
+
         def compose_losses(f_np):
             # original-order (real_batch,) losses: live lanes from the
             # batch, dropped jobs from their frozen value
+            lanes = lane_of()
             out = np.empty((self.real_batch,), dtype=np.float32)
             for orig in range(self.real_batch):
                 if orig in finished:
                     out[orig] = finished[orig][1]
                 else:
-                    out[orig] = f_np[lane_orig.index(orig)]
+                    out[orig] = f_np[lanes[orig]]
             return out
 
         def materialize(done_k, x_fetch, f_k):
             rows = np.asarray(x_fetch).reshape((len(lane_orig),) + top[1:])
             f_np = np.asarray(f_k)
+            lanes = lane_of()
             imgs_k = np.stack([
                 unprepare_img(finished[orig][0] if orig in finished
-                              else rows[lane_orig.index(orig)])
+                              else rows[lanes[orig]])
                 for orig in range(self.real_batch)])
             losses_k = compose_losses(f_np)
             # same opportunistic guard as TransferJob.run: the losses

@@ -91,6 +91,7 @@ class OnlineBatchingExecutor:
         self.__pending: List[Tuple[str, np.ndarray, np.ndarray]] = []
         self.__pending_lock = asyncio.Lock()
         self.__wake: Optional[asyncio.Event] = None
+        self.__idle: Optional[asyncio.Event] = None
         self.__dispatcher: Optional[asyncio.Task] = None
         self.__busy = False
         self.__round_ids: frozenset = frozenset()  # tasks in flight
@@ -152,6 +153,7 @@ class OnlineBatchingExecutor:
         async with self.__pending_lock:
             self.__pending.append((task_id, content, style))
         self._ensure_dispatcher()
+        self.__idle.clear()
         self.__wake.set()
         if self.__verbose:
             print(f"Task {task_id} queued (online batching)")
@@ -170,11 +172,16 @@ class OnlineBatchingExecutor:
             self._loop = loop
             self.__busy = False
             self.__wake = asyncio.Event()
+            # set while the executor is drained (nothing pending, nothing
+            # in flight): run() waits on this instead of busy-polling
+            self.__idle = asyncio.Event()
+            self.__idle.set()
             self.__dispatcher = loop.create_task(self._dispatch_loop())
             if self.__pending:
                 # jobs queued under the previous loop would otherwise wait
                 # on a fresh never-set event forever (benign unlocked read:
                 # a concurrent add_task sets the event itself)
+                self.__idle.clear()
                 self.__wake.set()
 
     async def _dispatch_loop(self):
@@ -188,6 +195,10 @@ class OnlineBatchingExecutor:
             async with self.__pending_lock:
                 jobs, self.__pending = self.__pending, []
             if not jobs:
+                # spurious wake (e.g. two add_tasks drained by one round):
+                # still drained — signal, or run() would wait forever
+                if not self.__wake.is_set():
+                    self.__idle.set()
                 continue
             self.__busy = True
             self.__round_ids = frozenset(tid for tid, _c, _s in jobs)
@@ -199,6 +210,15 @@ class OnlineBatchingExecutor:
             finally:
                 self.__busy = False
                 self.__round_ids = frozenset()
+                # signal drained-ness to run(): nothing pending and no
+                # wake queued. The check-and-set is synchronous after the
+                # lock, so an interleaved add_task either set __wake first
+                # (seen here) or clears __idle right after — run()
+                # re-verifies under the lock before returning either way.
+                async with self.__pending_lock:
+                    empty = not self.__pending
+                if empty and not self.__wake.is_set():
+                    self.__idle.set()
 
     async def _run_round(self, jobs):
         from ..parallel.batch import run_job_queue
@@ -266,15 +286,22 @@ class OnlineBatchingExecutor:
 
     async def run(self, forever: bool = False):
         """Wait until every queued job has been dispatched and finished;
-        with forever=True keep serving (Executor.run contract)."""
+        with forever=True keep serving (Executor.run contract).
+
+        Event-driven: waits on the dispatcher's drained signal instead of
+        busy-polling (r4 review). forever mode keeps a slow keep-alive
+        tick only — new work is driven entirely by add_task's wake."""
         self._ensure_dispatcher()
         while True:
-            while True:
-                async with self.__pending_lock:
-                    idle = not self.__pending
-                if idle and not self.__busy and not self.__wake.is_set():
-                    break
-                await asyncio.sleep(0.02)
-            if not forever:
-                return
-            await asyncio.sleep(0.5)
+            await self.__idle.wait()
+            # re-verify synchronously: the signal may be stale across an
+            # interleaved add_task or an event-loop re-bind
+            async with self.__pending_lock:
+                drained = not self.__pending
+            if drained and not self.__busy and not self.__wake.is_set():
+                if not forever:
+                    return
+                await asyncio.sleep(1.0)  # keep-alive; not a latency path
+            else:
+                # woken stale: the dispatcher will re-signal when drained
+                self.__idle.clear()
