@@ -238,10 +238,13 @@ class Config:
                                         # sizes; on a multi-device mesh
                                         # the ladder rounds up to
                                         # jobs-axis multiples). Host-side
-                                        # only; disabled under
-                                        # checkpointing (the checkpoint
-                                        # fingerprint pins the batch
-                                        # size).
+                                        # only. Coexists with
+                                        # checkpointing since r5: the
+                                        # checkpoint persists the lane
+                                        # composition + frozen rows, so a
+                                        # crash mid-ladder resumes
+                                        # bit-exactly at the shrunken
+                                        # size.
 
 
 # ---------------------------------------------------------------------------

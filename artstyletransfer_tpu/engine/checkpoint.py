@@ -59,11 +59,16 @@ def _flatten_state(tree: Any) -> Dict[str, np.ndarray]:
 
 def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
                     step: int, fingerprint: Optional[str] = None,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
+                    extra: Optional[Dict[str, Any]] = None,
+                    aux: Optional[Dict[str, np.ndarray]] = None) -> None:
     """extra: small JSON-serializable host-side state saved alongside the
     device state — e.g. the convergence early-stop's latched/previous-loss
     bookkeeping (stop_tol), which must survive a resume or the resumed
-    run would re-derive convergence later than the uninterrupted one."""
+    run would re-derive convergence later than the uninterrupted one.
+
+    aux: named host-side ARRAYS saved alongside (keys must be valid npz
+    names); e.g. the frozen result rows of batch lanes that already left
+    a shrinking batched run. Loaded back with with_aux=True."""
     import json
 
     ext_dtypes: Dict[str, str] = {}
@@ -83,6 +88,9 @@ def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
         arrays["extra_json"] = np.array(json.dumps(extra))
     for k, v in _flatten_state(opt_state).items():
         put(f"opt_{k}", v)
+    if aux:
+        for k, v in aux.items():
+            put(f"aux_{k}", v)
     if ext_dtypes:
         arrays["ext_dtypes_json"] = np.array(json.dumps(ext_dtypes))
     tmp = path + ".tmp"
@@ -92,13 +100,31 @@ def save_checkpoint(path: str, x: jax.Array, opt_state: Any,
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
 
 
+def peek_checkpoint_meta(path: str) -> tuple:
+    """(step, extra) of a checkpoint WITHOUT a state template — npz
+    archives load members lazily, so this touches only the small entries.
+    A shrinking batched run needs the extra (its lane composition, hence
+    the current batch size) BEFORE it can build the right-sized template
+    for load_checkpoint."""
+    import json
+
+    data = np.load(path, allow_pickle=False)
+    if str(data["magic"]) != _MAGIC:
+        raise ValueError(f"not an astt checkpoint: {path}")
+    extra = (json.loads(str(data["extra_json"]))
+             if "extra_json" in data else {})
+    return int(data["step"]), extra
+
+
 def load_checkpoint(path: str, opt_state_template: Any,
                     fingerprint: Optional[str] = None,
-                    with_extra: bool = False):
-    """Returns (x, opt_state, step) — or (x, opt_state, step, extra) with
-    with_extra=True, where extra is the dict passed to save_checkpoint
-    ({} when the file carries none). The template provides the pytree
-    structure (build it with the job's init_fn).
+                    with_extra: bool = False,
+                    with_aux: bool = False):
+    """Returns (x, opt_state, step) — plus extra with with_extra=True
+    (the dict passed to save_checkpoint, {} when the file carries none),
+    plus aux with with_aux=True (the named arrays passed to
+    save_checkpoint). The template provides the pytree structure (build
+    it with the job's init_fn).
 
     If both the caller and the file carry a fingerprint, they must match:
     a checkpoint written under one graph config (optimizer, dtype, loss
@@ -141,9 +167,14 @@ def load_checkpoint(path: str, opt_state_template: Any,
         new_leaves.append(arr)
     opt_state = jax.tree.unflatten(treedef, new_leaves)
     x_out = _decode_array(data["x"], ext_dtypes.get("x"))
-    if not with_extra:
-        return x_out, opt_state, int(data["step"])
-    extra = {}
-    if "extra_json" in data:
-        extra = json.loads(str(data["extra_json"]))
-    return x_out, opt_state, int(data["step"]), extra
+    out = [x_out, opt_state, int(data["step"])]
+    if with_extra:
+        extra = {}
+        if "extra_json" in data:
+            extra = json.loads(str(data["extra_json"]))
+        out.append(extra)
+    if with_aux:
+        out.append({k[len("aux_"):]: _decode_array(data[k],
+                                                   ext_dtypes.get(k))
+                    for k in data.files if k.startswith("aux_")})
+    return tuple(out)

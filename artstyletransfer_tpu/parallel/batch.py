@@ -404,15 +404,20 @@ class BatchedTransferJob:
         """
         import os
 
-        from ..engine.checkpoint import load_checkpoint, save_checkpoint
+        from ..engine.checkpoint import (load_checkpoint,
+                                         peek_checkpoint_meta,
+                                         save_checkpoint)
 
         cfg = self.cfg
         iters = iters_num if iters_num is not None else cfg.iters_num
         chunk = stream_every if stream_every is not None else cfg.stream_every
         chunk = max(1, min(chunk, iters))
-        # graph-config fingerprint (includes the padded batch size):
-        # resuming a queue checkpoint under changed optimizer/dtype/batch
-        # flags fails loudly instead of silently mixing states
+        # graph-config fingerprint (includes the CONSTRUCTION batch size —
+        # stable across resumes even when convergence shrinking has since
+        # reduced the in-file state, whose own size rides in the extra's
+        # lane composition): resuming a queue checkpoint under changed
+        # optimizer/dtype/batch flags fails loudly instead of silently
+        # mixing states
         fp = str(("batched", self.batch)
                  + _config_key(cfg, tuple(self.level_shapes)))
 
@@ -423,51 +428,9 @@ class BatchedTransferJob:
         done = 0
         ck_extra: Dict[str, Any] = {}
         top = self.level_shapes[0]  # (1, H, W, 3) per job
-        if resume and checkpoint_path and os.path.exists(checkpoint_path):
-            # abstract template (zero device work) — see TransferJob.run
-            template = jax.eval_shape(self._init_fn, self.params,
-                                      self.targets, x)
-            x_np, opt_state, done, ck_extra = load_checkpoint(
-                checkpoint_path, template, fingerprint=fp, with_extra=True)
-            x = jnp.asarray(x_np)
-            if done >= iters or ck_extra.get("converged"):
-                # completed checkpoint (by budget or by a convergence
-                # early-stop) — yield its final state once, with real
-                # per-job losses (mirrors the single-job resume path)
-                imgs = np.asarray(x).reshape((self.batch,) + top[1:])
-                imgs = np.stack([unprepare_img(im)
-                                 for im in imgs[:self.real_batch]])
-                losses = self._metrics_fn(self.params, self.targets, x)
-                yield done, imgs, np.asarray(losses)[:self.real_batch]
-                return
-        if opt_state is None:
-            opt_state = self._init_fn(self.params, self.targets, x)
-        last_saved = done
-        # Lookahead streaming, same contract as TransferJob.run: dispatch
-        # chunk k+1 before materializing chunk k, so the whole batch's
-        # image fetch + every job's progress hooks overlap the next
-        # chunk's compute. x is donated by the next dispatch, so the
-        # fetch handle is an on-device copy.
-        # Convergence early-stop (cfg.stop_tol > 0): a job whose relative
-        # loss change over a chunk is <= tol is DONE. With cfg.stop_shrink
-        # (and no checkpointing — the fingerprint pins the batch size) a
-        # done job leaves the batch at the chunk boundary — its result
-        # freezes there, exactly like a single-job stop — and the
-        # remaining jobs re-form at the next power-of-two batch size
-        # rounded up to a jobs-axis multiple (the serving warmup set; XLA
-        # compiles one executable per size, the vmapped jit itself is
-        # size-agnostic). On a multi-device mesh the gathered state is
-        # re-placed with its pre-gather shardings so the shrunken batch
-        # keeps riding the mesh. Without shrinking the whole group
-        # stops once EVERY job has converged at least once — latched (the
-        # slowest lane gates — measured -10% wall vs -41% for per-job
-        # scheduling at the 8-job serving shape, PARITY.md). Needs a
-        # per-chunk loss fetch, so lookahead is off — same trade as
-        # TransferJob.run.
+        n_pix = self._x0.shape[-1]
         check_stop = cfg.stop_tol > 0.0
-        lookahead = yield_images and cfg.pipeline_streaming and not check_stop
-        pending = None  # (done, x_fetch, f) dispatched, not yet yielded
-        shrink = check_stop and cfg.stop_shrink and not checkpoint_path
+        shrink = check_stop and cfg.stop_shrink
         reshard = self.mesh is not None and self.mesh.devices.size > 1
         jobs_axis = (dict(self.mesh.shape).get("jobs", 1)
                      if self.mesh is not None else 1)
@@ -476,26 +439,133 @@ class BatchedTransferJob:
         lane_orig: List[Optional[int]] = (
             list(range(self.real_batch))
             + [None] * (self.batch - self.real_batch))
+        # lane -> the original job whose TARGETS the lane carries (initial
+        # padding replicates the last real job's inputs; shrink re-padding
+        # replicates a surviving lane) — what a resume needs to re-gather
+        # self.targets into a shrunken batch's lane order
+        lane_src: List[int] = (
+            list(range(self.real_batch))
+            + [self.real_batch - 1] * (self.batch - self.real_batch))
         finished: Dict[int, Tuple[np.ndarray, float]] = {}  # orig -> row, loss
-        # per-job stop bookkeeping, restored from the checkpoint so a
-        # resumed stop_tol run makes the same comparisons (and keeps its
-        # latches) the uninterrupted run would have
-        f_prev: Dict[int, float] = {  # orig -> last chunk's loss
-            int(k): v for k, v in ck_extra.get("f_prev", {}).items()}
+        f_prev: Dict[int, float] = {}  # orig -> last chunk's loss
         # convergence LATCHES per job: once a job's chunk change dips
         # under tol it is done, even if later chunks (it keeps optimizing
         # until it can actually leave the batch) oscillate back over tol
         # — otherwise a group with staggered convergence would need every
         # job to re-converge in the SAME chunk and could silently never
         # stop
-        latched: set = set(ck_extra.get("latched", ()))
+        latched: set = set()
         targets = self.targets  # local: shrinking gathers it per-lane
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            # the checkpoint may hold a SHRUNKEN batch (stop_shrink); its
+            # lane composition — hence the template's batch size — is only
+            # known from the file, so peek the metadata first (lazy npz:
+            # the big state arrays stay untouched)
+            _pk_step, peek = peek_checkpoint_meta(checkpoint_path)
+            if peek.get("lane_orig") is not None:
+                lane_orig = [None if v is None else int(v)
+                             for v in peek["lane_orig"]]
+                lane_src = [int(v) for v in peek["lane_src"]]
+            cur = len(lane_orig)
+            # abstract template (zero device work) — see TransferJob.run
+            tgt_tpl = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct((cur,) + a.shape[1:],
+                                               a.dtype), self.targets)
+            template = jax.eval_shape(
+                self._init_fn, self.params, tgt_tpl,
+                jax.ShapeDtypeStruct((cur, n_pix), self._x0.dtype))
+            x_np, opt_state, done, ck_extra, ck_aux = load_checkpoint(
+                checkpoint_path, template, fingerprint=fp,
+                with_extra=True, with_aux=True)
+            x = jnp.asarray(x_np)
+            # stop bookkeeping, restored so a resumed stop_tol run makes
+            # the same comparisons (and keeps its latches) the
+            # uninterrupted run would have
+            f_prev = {int(k): v
+                      for k, v in ck_extra.get("f_prev", {}).items()}
+            latched = set(ck_extra.get("latched", ()))
+            # frozen results of jobs that already left the batch (sorted
+            # orig order matches the aux row stacking in stop_aux)
+            for i, (orig, loss) in enumerate(ck_extra.get("finished", [])):
+                finished[int(orig)] = (
+                    np.asarray(ck_aux["finished_rows"][i]), float(loss))
+            if cur != self.batch:
+                # re-gather the targets into the shrunken lane order (one
+                # fused call; bitwise what the original run carried, since
+                # self.targets is a deterministic recompute)
+                targets = _gather_rows(
+                    self.targets, jnp.asarray(lane_src, dtype=jnp.int32))
+            if done >= iters or ck_extra.get("converged"):
+                # completed checkpoint (by budget or by a convergence
+                # early-stop) — yield its final state once, with real
+                # per-job losses, composing frozen rows with live lanes
+                # (mirrors the single-job resume path)
+                lanes = {orig: lane for lane, orig in enumerate(lane_orig)
+                         if orig is not None}
+                rows = np.asarray(x).reshape((cur,) + top[1:])
+                imgs = np.stack([
+                    unprepare_img(finished[orig][0] if orig in finished
+                                  else rows[lanes[orig]])
+                    for orig in range(self.real_batch)])
+                f_live = np.asarray(
+                    self._metrics_fn(self.params, targets, x))
+                losses = np.asarray(
+                    [finished[orig][1] if orig in finished
+                     else f_live[lanes[orig]]
+                     for orig in range(self.real_batch)], dtype=np.float32)
+                yield done, imgs, losses
+                return
+        if opt_state is None:
+            opt_state = self._init_fn(self.params, targets, x)
+        last_saved = done
+        # Lookahead streaming, same contract as TransferJob.run: dispatch
+        # chunk k+1 before materializing chunk k, so the whole batch's
+        # image fetch + every job's progress hooks overlap the next
+        # chunk's compute. x is donated by the next dispatch, so the
+        # fetch handle is an on-device copy.
+        # Convergence early-stop (cfg.stop_tol > 0): a job whose relative
+        # loss change over a chunk is <= tol is DONE. With cfg.stop_shrink
+        # a done job leaves the batch at the chunk boundary — its result
+        # freezes there, exactly like a single-job stop — and the
+        # remaining jobs re-form at the next power-of-two batch size
+        # rounded up to a jobs-axis multiple (the serving warmup set; XLA
+        # compiles one executable per size, the vmapped jit itself is
+        # size-agnostic). On a multi-device mesh the gathered state is
+        # re-placed with its pre-gather shardings so the shrunken batch
+        # keeps riding the mesh. Checkpoints taken after a shrink persist
+        # the lane composition + frozen rows (stop_extra/stop_aux), so a
+        # crash mid-ladder resumes bit-exactly at the shrunken size (r4's
+        # checkpoint-XOR-shrink exclusion is gone). Without shrinking the
+        # whole group stops once EVERY job has converged at least once —
+        # latched (the slowest lane gates — measured -10% wall vs -41%
+        # for per-job scheduling at the 8-job serving shape, PARITY.md).
+        # Needs a per-chunk loss fetch, so lookahead is off — same trade
+        # as TransferJob.run.
+        lookahead = yield_images and cfg.pipeline_streaming and not check_stop
+        pending = None  # (done, x_fetch, f) dispatched, not yet yielded
 
         def stop_extra(converged):
             # JSON keys are strings; f_prev's int keys restore above
-            return ({"f_prev": {str(k): v for k, v in f_prev.items()},
-                     "latched": sorted(latched), "converged": converged}
-                    if check_stop else None)
+            if not check_stop:
+                return None
+            extra: Dict[str, Any] = {
+                "f_prev": {str(k): v for k, v in f_prev.items()},
+                "latched": sorted(latched), "converged": converged}
+            if shrink:
+                # lane composition so a resume can rebuild a shrunken
+                # batch; frozen losses pair with stop_aux's rows by
+                # sorted-orig position
+                extra["lane_orig"] = lane_orig
+                extra["lane_src"] = lane_src
+                extra["finished"] = [[orig, float(loss)] for orig, (_r, loss)
+                                     in sorted(finished.items())]
+            return extra
+
+        def stop_aux():
+            if shrink and finished:
+                return {"finished_rows": np.stack(
+                    [row for _orig, (row, _l) in sorted(finished.items())])}
+            return None
 
         def lane_of():
             # orig job index -> live lane, rebuilt per call (lane_orig
@@ -615,14 +685,20 @@ class BatchedTransferJob:
                         f_np = f_np[sel]
                         lane_orig = ([lane_orig[ln] for ln in still]
                                      + [None] * (tgt - len(still)))
+                        # padding lanes carry the replicated survivor's
+                        # targets (sel pads with still[-1])
+                        lane_src = [lane_src[ln] for ln in sel]
             if (checkpoint_path and checkpoint_every
                     and (done - last_saved >= checkpoint_every
                          or done >= iters or converged)):
                 # materializes x (a device sync): checkpoint-bearing
-                # chunks simply don't overlap (shrinking is disabled under
-                # checkpointing, so the state always spans the full batch)
+                # chunks simply don't overlap. After a shrink the state
+                # spans only the live lanes; the extra/aux carry the lane
+                # composition and the frozen rows so resume rebuilds the
+                # rest.
                 save_checkpoint(checkpoint_path, x, opt_state, done,
-                                fingerprint=fp, extra=stop_extra(converged))
+                                fingerprint=fp, extra=stop_extra(converged),
+                                aux=stop_aux())
                 last_saved = done
             if lookahead:
                 x_fetch = x if done >= iters else jnp.copy(x)
@@ -839,15 +915,15 @@ def planned_round_sizes(cfg: Config, content_shape: tuple, n_jobs: int,
             # multiple of the jobs axis
             size = -(-size // jobs_axis) * jobs_axis
         sizes.add(size)
-    if (cfg.stop_tol > 0.0 and cfg.stop_shrink and policy != "sequential"
-            and not checkpointing):
+    del checkpointing  # r5: shrinking and checkpointing coexist (the
+    # checkpoint persists the lane composition), so the ladder is part of
+    # what a checkpointed queue dispatches too; the parameter stays for
+    # caller compatibility
+    if cfg.stop_tol > 0.0 and cfg.stop_shrink and policy != "sequential":
         # convergence shrinking (BatchedTransferJob.run) re-forms a batch
         # down the power-of-two ladder (rounded up to jobs-axis multiples
         # on a mesh) as jobs exit; those executables are part of what a
-        # round can dispatch. The gate here mirrors run()'s shrink gate
-        # exactly (no checkpointing — the fingerprint pins the batch
-        # size): warming ladder sizes a queue can never dispatch wastes
-        # multi-minute compiles.
+        # round can dispatch, so a warmup must cover them.
         for size in list(sizes):
             sizes.update(shrink_ladder(size, jobs_axis))
     return sorted(sizes)

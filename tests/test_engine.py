@@ -776,7 +776,7 @@ def test_stop_tol_latch_survives_checkpoint_resume(tmp_path, images,
     content, style = images
     content2 = np.random.default_rng(123).random(
         content.shape).astype(np.float32)
-    # group mode (shrink is disabled under checkpointing anyway): job1
+    # group mode (stop_shrink off keeps the whole batch together): job1
     # latches at step 35, job0 converges at 40 (calibration above)
     cfg = Config(levels_num=1, iters_num=60, base_diameter=16,
                  optimizer="adam", stream_every=5, stop_tol=0.0498,

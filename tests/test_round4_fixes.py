@@ -611,7 +611,7 @@ def test_planned_round_sizes_covers_shrink_ladder():
                                mesh_devices=2) == [1, 2, 4, 8]
     no_shrink = dataclasses.replace(cfg, stop_shrink=False)
     assert planned_round_sizes(no_shrink, shape, 8, max_batch=8) == [8]
-    # run()'s shrink gate still excludes checkpointing (the checkpoint
-    # fingerprint pins the batch size) — the plan mirrors it exactly
+    # r5: shrinking coexists with checkpointing (the checkpoint persists
+    # the lane composition), so the ladder is dispatched there too
     assert planned_round_sizes(cfg, shape, 8, max_batch=8,
-                               checkpointing=True) == [8]
+                               checkpointing=True) == [1, 2, 4, 8]

@@ -116,6 +116,70 @@ def test_vmapped_fused_bwd_sharded_is_wrong_upstream():
         f"be retired (re-measure first)")
 
 
+@pytest.fixture
+def shrink_pair():
+    # the canonical-env calibration of test_stop_shrink_per_job_early_exit
+    # (test_engine.py): 16px adam, stream 5, tol=1.3 -> job0 exits at step
+    # 10 (batch 2 -> 1), job1 converges at 15
+    rng = np.random.default_rng(7)
+    content = rng.random((48, 64, 3)).astype(np.float32)
+    style = rng.random((40, 40, 3)).astype(np.float32)
+    content2 = np.random.default_rng(123).random(
+        content.shape).astype(np.float32)
+    return [content, content2], [style, style]
+
+
+def test_checkpoint_resumes_mid_shrink_bit_exact(shrink_pair, vgg_params,
+                                                 tmp_path):
+    """r4's checkpoint-XOR-shrink exclusion is lifted: a checkpoint taken
+    AFTER a convergence shrink persists the lane composition and frozen
+    rows, and a crash-resume continues at the shrunken batch size,
+    landing bit-exactly on the uninterrupted run's results."""
+    contents, styles = shrink_pair
+    cfg = Config(levels_num=1, iters_num=30, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=1.3)
+    full = list(BatchedTransferJob(contents, styles, cfg,
+                                   params=vgg_params).run())
+    assert [d for d, _, _ in full] == [5, 10, 15]
+
+    # checkpointed run, "crashing" right after the post-shrink chunk
+    ckpt = str(tmp_path / "shrink.ckpt")
+    it = BatchedTransferJob(contents, styles, cfg, params=vgg_params).run(
+        checkpoint_path=ckpt, checkpoint_every=5)
+    for done, _imgs, _losses in it:
+        if done == 10:  # shrink to batch 1 happened at this boundary
+            break
+    it.close()
+
+    # the file holds a SHRUNKEN batch: one live lane + one frozen row
+    from artstyletransfer_tpu.engine.checkpoint import peek_checkpoint_meta
+    step, extra = peek_checkpoint_meta(ckpt)
+    assert step == 10 and extra["lane_orig"] == [1]
+    assert extra["finished"] == [[0, pytest.approx(full[1][2][0])]]
+
+    resumed = list(BatchedTransferJob(contents, styles, cfg,
+                                      params=vgg_params).run(
+        checkpoint_path=ckpt, checkpoint_every=5, resume=True))
+    assert [d for d, _, _ in resumed] == [15]
+    np.testing.assert_array_equal(resumed[-1][1], full[-1][1])
+    np.testing.assert_array_equal(resumed[-1][2], full[-1][2])
+
+    # the converged final checkpoint short-circuits a further resume,
+    # composing frozen rows with the live lane
+    again = list(BatchedTransferJob(contents, styles, cfg,
+                                    params=vgg_params).run(
+        checkpoint_path=ckpt, checkpoint_every=5, resume=True))
+    assert [d for d, _, _ in again] == [15]
+    np.testing.assert_array_equal(again[-1][1], full[-1][1])
+    # frozen lanes return their trajectory loss bit-exactly; live lanes
+    # are REevaluated at the final image (the long-standing
+    # resume-of-completed contract — the in-flight `f` is the loss before
+    # the chunk's last update and is not persisted), which at this toy
+    # tol=1.3 calibration differs by ~11%: same order, not bitwise
+    assert again[-1][2][0] == full[-1][2][0]
+    np.testing.assert_allclose(again[-1][2][1], full[-1][2][1], rtol=0.2)
+
+
 def test_fused_style_bwd_exact_unsharded():
     """The fused custom VJP itself is exact where production uses it
     (single device, vmapped or not) — the fence is about GSPMD only."""
