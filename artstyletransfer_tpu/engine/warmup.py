@@ -125,6 +125,9 @@ def warmup_aspect_buckets(cfg: Config, params=None,
                 # convergence shrinking can dispatch from this batch
                 # (no-op unless cfg.stop_tol/stop_shrink enable it)
                 n += job.warm_shrink_gathers()
+                # the per-lane-step chunk variant live serving dispatches
+                # (runtime/online.py batch_join — the r5 default)
+                n += job.warm_live_chunk(k)
             if verbose:
                 tag = "" if size is None else f" batch={size}"
                 print(f"warmup: aspect {aspect:.3f} ({h}x{w}){tag} ready "

@@ -332,10 +332,17 @@ def main(argv=None) -> int:
     parser.add_argument("--batched", action="store_true",
                         help="run the demo queue through the mesh-batched "
                              "TPU executor instead of 2-at-a-time")
-    parser.add_argument("--online", action="store_true",
+    parser.add_argument("--online", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="serve live tasks through the online batching "
-                             "executor: concurrent same-bucket jobs "
-                             "coalesce into one vmapped batch")
+                             "executor: concurrent same-bucket jobs run as "
+                             "one vmapped batch, and mid-flight arrivals "
+                             "JOIN the in-flight batch at the next chunk "
+                             "boundary (parallel/live.py). Default ON "
+                             "since r5 — measured 2.46-5.43x end-to-end "
+                             "over the 2-at-a-time executor with newcomer "
+                             "wait bounded by one chunk; --no-online "
+                             "restores the reference-style semaphore")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default=None,
                         help="conv compute dtype; default: production "

@@ -346,11 +346,17 @@ def main(argv=None) -> int:
                              "--online-batching this warms the vmapped "
                              "batched executables at the padded batch "
                              "sizes online rounds dispatch")
-    parser.add_argument("--online-batching", action="store_true",
+    parser.add_argument("--online-batching",
+                        action=argparse.BooleanOptionalAction, default=True,
                         help="coalesce concurrent jobs sharing a canonical "
-                             "shape bucket into one vmapped batch instead "
-                             "of running them 2-at-a-time (implies "
-                             "canonicalization inside the executor)")
+                             "shape bucket into one vmapped batch (implies "
+                             "canonicalization inside the executor); "
+                             "mid-flight arrivals JOIN the in-flight batch "
+                             "at the next chunk boundary. Default ON since "
+                             "r5 (measured 2.46-5.43x end-to-end, newcomer "
+                             "wait bounded by one chunk); "
+                             "--no-online-batching restores the "
+                             "reference-style 2-at-a-time semaphore")
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default=None,
                         help="conv compute dtype; default: production "

@@ -132,6 +132,20 @@ def _build_batched_runners(cfg: Config, level_shapes: tuple,
             **spmd,
         )(targets, x, opt_state)
 
+    def batched_chunk_steps(params, targets, x, opt_state, start_steps,
+                            n_steps):
+        # per-LANE start steps (an (B,) int32 vector): lanes at different
+        # points of their budget share one dispatch — the primitive that
+        # lets a live-serving newcomer join an in-flight batch at a chunk
+        # boundary while every lane keeps its own lr-decay schedule
+        # (lr_at/lr_decay_per_eval read the traced per-lane step). With a
+        # uniform vector the per-lane math is the scalar variant's.
+        return jax.vmap(
+            lambda t, xx, st, ss: runners.raw_chunk(params, t, xx, st,
+                                                    ss, n_steps),
+            **spmd,
+        )(targets, x, opt_state, start_steps)
+
     def batched_targets(params, c_levels, s_levels):
         return jax.vmap(lambda c, s: runners.raw_targets(params, c, s))(
             c_levels, s_levels)
@@ -146,7 +160,9 @@ def _build_batched_runners(cfg: Config, level_shapes: tuple,
                 jax.jit(batched_chunk, static_argnums=(5,),
                         donate_argnums=(2, 3)),
                 jax.jit(batched_targets),
-                jax.jit(batched_metrics))
+                jax.jit(batched_metrics),
+                jax.jit(batched_chunk_steps, static_argnums=(5,),
+                        donate_argnums=(2, 3)))
     _BATCH_CACHE[key] = compiled
     return compiled
 
@@ -295,12 +311,13 @@ class BatchedTransferJob:
                            space=n_space)
 
         space_mesh = mesh if constrained else None
-        jit_init, jit_chunk, jit_targets, jit_metrics = \
-            _build_batched_runners(cfg, tuple(self.level_shapes),
-                                   warn_hbm=not batch_warning,
-                                   space_mesh=space_mesh)
+        (jit_init, jit_chunk, jit_targets, jit_metrics,
+         jit_chunk_steps) = _build_batched_runners(
+            cfg, tuple(self.level_shapes), warn_hbm=not batch_warning,
+            space_mesh=space_mesh)
         self._init_fn, self._chunk_fn = jit_init, jit_chunk
         self._metrics_fn = jit_metrics
+        self._chunk_steps_fn = jit_chunk_steps  # live-serving joins
 
         # Place data on the mesh; shardings then propagate through every
         # jitted computation (params replicated, batch on 'jobs', pixels
@@ -386,6 +403,24 @@ class BatchedTransferJob:
                                sel_sds).compile()
             n += 1
         return n
+
+    def warm_live_chunk(self, n_steps: int) -> int:
+        """AOT-compile the per-lane-step chunk variant at this batch size
+        — the executable live serving (parallel/live.LiveBatchRunner)
+        dispatches instead of run()'s scalar-step chunk. Zero device
+        work (abstract lower+compile, like warm_shrink_gathers). On a
+        multi-device mesh the live dispatch's input shardings may still
+        differ from this warm's (the live path re-places state after
+        transplants); single-device serving — the production chip — is
+        exact."""
+        x_sds = jax.ShapeDtypeStruct(self._x0.shape, self._x0.dtype)
+        opt_sds = jax.eval_shape(self._init_fn, self.params, self.targets,
+                                 x_sds)
+        steps_sds = jax.ShapeDtypeStruct((self.batch,), jnp.int32)
+        self._chunk_steps_fn.lower(self.params, self.targets, x_sds,
+                                   opt_sds, steps_sds,
+                                   int(n_steps)).compile()
+        return 1
 
     def run(self, iters_num: Optional[int] = None,
             stream_every: Optional[int] = None,

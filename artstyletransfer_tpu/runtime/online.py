@@ -10,17 +10,24 @@ ONE vmapped, mesh-sharded batch per bucket instead of interleaved
 single-job runs — measured 3-8x aggregate job-steps/s for Adam and
 reference-semantics L-BFGS queues (PARITY.md).
 
-Scheduling semantics:
-- Tasks join at batch creation: everything pending when the chip frees up
-  (plus a `batch_window_s` coalescing window for near-simultaneous
-  requests) forms the next dispatch round; tasks arriving while a batch
-  is optimizing accumulate for the following round.
-- Each round runs through `parallel.run_job_queue`, so the measured
-  batching policy applies unchanged: 'auto' vmaps Adam, ref-semantics
-  L-BFGS, and unit-opening full-Wolfe buckets (the r4 production
-  default) and runs lr-opening full-Wolfe jobs sequentially
+Scheduling semantics (batch_join=True, the default — r5):
+- LIVE JOINS: per-bucket `parallel.live.LiveBatchRunner`s own the
+  in-flight batches; a task arriving while its bucket is optimizing
+  enters the batch at the next CHUNK boundary (state transplant + the
+  per-lane step-offset chunk), so time-to-first-progress is bounded by
+  ~one chunk rather than a whole round — the TPU answer to the
+  reference's semaphore admitting a newcomer the moment a slot frees
+  (reference task_executor.py:30). Active buckets run round-robin, one
+  chunk each. The policy routing still applies: sequential-policy
+  configs (lr-opening full-Wolfe) fall back to the round mode below.
+- ROUND mode (batch_join=False, injected queue_runners, or
+  sequential-policy configs): everything pending when the chip frees up
+  (plus a `batch_window_s` coalescing window) forms the next dispatch
+  round through `parallel.run_job_queue` — 'auto' vmaps Adam,
+  ref-semantics L-BFGS, and unit-opening full-Wolfe buckets
   (resolve_batch_policy), buckets split HBM-aware (max_jobs_per_batch),
-  and a poisoned bucket fails in isolation.
+  and a poisoned bucket fails in isolation; tasks arriving mid-round
+  accumulate for the following round.
 - The API is a drop-in for runtime.executor.Executor (add_task /
   get_progress / task_ids / run / failures / report_progress callback),
   so the frontends swap executors behind a flag.
@@ -30,7 +37,7 @@ from __future__ import annotations
 
 import asyncio
 from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -52,7 +59,8 @@ class OnlineBatchingExecutor:
                  pad_batches: bool = True,
                  retries: int = 0,
                  stream_images: bool = True,
-                 queue_runner: Optional[Callable] = None):
+                 queue_runner: Optional[Callable] = None,
+                 batch_join: bool = True):
         # `engine` is accepted for signature parity with Executor but the
         # unit of execution here is the batched queue; tests inject
         # `queue_runner` instead.
@@ -86,6 +94,15 @@ class OnlineBatchingExecutor:
         # serving (same knob as run_job_queue)
         self.stream_images = stream_images
         self.queue_runner = queue_runner  # injectable (tests)
+        # chunk-boundary joins (parallel/live.LiveBatchRunner): a task
+        # arriving while its bucket is optimizing enters the in-flight
+        # batch at the next chunk boundary instead of waiting out the
+        # whole round — time-to-first-progress is bounded by one chunk.
+        # Buckets run round-robin, one chunk each, so a NEW bucket's
+        # first chunk is also at most (active buckets) chunks away.
+        # Injected queue_runners (tests) keep the round semantics.
+        self.batch_join = batch_join
+        self._runners: Dict[tuple, Any] = {}  # bucket -> LiveBatchRunner
         self.__progress: Dict[str, tuple] = {}
         self.__progress_lock = asyncio.Lock()
         self.__pending: List[Tuple[str, np.ndarray, np.ndarray]] = []
@@ -203,7 +220,10 @@ class OnlineBatchingExecutor:
             self.__busy = True
             self.__round_ids = frozenset(tid for tid, _c, _s in jobs)
             try:
-                await self._run_round(jobs)
+                if self._use_live():
+                    await self._run_live(jobs)
+                else:
+                    await self._run_round(jobs)
             except Exception as e:  # noqa: BLE001 — keep serving
                 for tid, _c, _s in jobs:
                     await self._record_failure(tid, e)
@@ -261,6 +281,87 @@ class OnlineBatchingExecutor:
                 print(f"Task {tid} done")
         for tid, exc in failures.items():
             await self._record_failure(tid, exc)
+
+    def _use_live(self):
+        """Chunk-boundary joins engage only where vmapping is the measured
+        win: the 'auto'/'batched' policy routes (resolve_batch_policy).
+        Sequential-policy configs (lr-opening full-Wolfe: vmapping is a
+        ~2x lockstep loss) and injected queue_runners (tests) keep the
+        round path."""
+        if not self.batch_join or self.queue_runner is not None:
+            return False
+        from ..parallel.batch import resolve_batch_policy
+
+        return resolve_batch_policy(self.__config,
+                                    self.batch_policy) == "batched"
+
+    async def _run_live(self, jobs):
+        """Serve through per-bucket LiveBatchRunners until drained.
+
+        One chunk per active runner per cycle (round-robin over buckets —
+        one device, sequential dispatch). BETWEEN chunks the pending list
+        is re-drained, so tasks that arrived while a chunk was computing
+        join their bucket's batch at the very next boundary (or start a
+        new bucket's runner next cycle) — the wait the round-based path
+        imposed (the whole in-flight round) is gone. A runner whose step
+        raises fails ONLY its own bucket's tasks (same isolation contract
+        as run_job_queue's buckets)."""
+        from ..parallel.live import LiveBatchRunner
+
+        loop = asyncio.get_running_loop()
+        self.dispatch_rounds += 1
+
+        def feed(batch_jobs):
+            for tid, content, style in batch_jobs:
+                key = (content.shape, style.shape)
+                runner = self._runners.get(key)
+                if runner is None:
+                    runner = self._runners[key] = LiveBatchRunner(
+                        self.__config, params=self.params, mesh=self.mesh,
+                        max_batch=self.max_batch,
+                        stream_images=self.stream_images)
+                runner.submit(tid, content, style)
+
+        feed(jobs)
+        rr = 0  # round-robin cursor over buckets
+        while True:
+            # mid-flight arrivals: drain and feed at every chunk boundary
+            async with self.__pending_lock:
+                fresh, self.__pending = self.__pending, []
+            if fresh:
+                # the wake these jobs set stays set: one spurious outer-
+                # loop spin after we drain is cheaper than the lost-job
+                # race of clearing a wake a concurrent add_task just set
+                feed(fresh)
+            active = [(key, r) for key, r in self._runners.items()
+                      if r.active]
+            if not active:
+                break
+            self.__round_ids = frozenset(
+                tid for _k, r in active for tid in r.all_tids)
+            key, runner = active[rr % len(active)]
+            rr += 1
+            try:
+                report = await loop.run_in_executor(None, runner.step)
+            except Exception as e:  # noqa: BLE001 — bucket isolation
+                for tid in runner.fail_all():
+                    await self._record_failure(tid, e)
+                del self._runners[key]
+                continue
+            for tid in report.joined:
+                if self.metrics is not None:
+                    self.metrics.log("task_joined", task=tid,
+                                     batch=report.batch)
+                if self.__verbose:
+                    print(f"Task {tid} joined live batch "
+                          f"(size {report.batch})")
+            for tid, pct, img, loss in report.progress:
+                await self._report(tid, pct, img, loss)
+            for tid in report.finished:
+                if self.metrics is not None:
+                    self.metrics.log("task_done", task=tid)
+                if self.__verbose:
+                    print(f"Task {tid} done")
 
     async def _report(self, tid, pct, img, loss):
         await self.set_progress(tid, (pct, img))

