@@ -339,10 +339,12 @@ def production_config(base: Config | None = None) -> Config:
     """Resolve a config to the platform's production settings.
 
     On TPU backends this switches compute_dtype float32 -> bfloat16 (a
-    config that already asks for a non-default dtype is left alone) and
+    config that already asks for a non-default dtype is left alone),
     opens the full-Wolfe L-BFGS line search at the quasi-Newton unit
-    trial (lbfgs_t_init 'lr' -> 'unit'; r4 study below); on CPU/GPU it
-    is the identity. The frontends and the benchmark use this as the
+    trial (lbfgs_t_init 'lr' -> 'unit'; r4 study below), carries the
+    matrix direction's Grams (r4), and stores the L-BFGS history pairs
+    in bfloat16 (r5; +10.8% at the headline, unlocks history=100 at 2K
+    on one chip); on CPU/GPU it is the identity. The frontends and the benchmark use this as the
     deployment default; pass an explicit --compute-dtype float32 /
     --lbfgs-t-init lr to opt out.
 
@@ -403,4 +405,16 @@ def production_config(base: Config | None = None) -> Config:
         # ref-semantics runs too (the direction is line-search
         # independent); an explicit --lbfgs-grams recompute opts out.
         cfg = dataclasses.replace(cfg, lbfgs_grams="incremental")
+    if (cfg.optimizer == "lbfgs" and cfg.lbfgs_state_dtype == "float32"):
+        # r5: store the (m, n) s/y history pairs in bfloat16 — halves
+        # both their HBM footprint (the capacity limit that forced
+        # history=10 at 2K: torch's history_size=100 default now fits a
+        # 16 GB chip, 3.16 steps/s at 4level2k, 1969x torch-CPU) and the
+        # matrix direction's streamed bandwidth (bench A/B at the
+        # headline: 10.67 -> 11.82 steps/s, +10.8%). Quality closed on
+        # the chip by scripts/exp_statedtype.py: final loss within the
+        # chaos band at 512 AND 1024 (bf16-state landed lower both
+        # times; PARITY.md r5). All contractions still accumulate f32.
+        # An explicit --lbfgs-state-dtype float32 opts out.
+        cfg = dataclasses.replace(cfg, lbfgs_state_dtype="bfloat16")
     return cfg

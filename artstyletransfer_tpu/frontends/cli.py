@@ -237,7 +237,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     from ..config import production_config
 
     explicit = {f: overrides[f]
-                for f in ("compute_dtype", "lbfgs_t_init", "lbfgs_grams")
+                for f in ("compute_dtype", "lbfgs_t_init", "lbfgs_grams",
+                          "lbfgs_state_dtype")
                 if f in overrides}
     cfg = dataclasses.replace(production_config(cfg), **explicit)
     return cfg

@@ -42,6 +42,7 @@ from artstyletransfer_tpu.config import (Config,  # noqa: E402
 from artstyletransfer_tpu.engine.transfer import TransferJob  # noqa: E402
 from artstyletransfer_tpu.models.weights import load_vgg19_params  # noqa: E402
 from artstyletransfer_tpu.utils.image import load_image  # noqa: E402
+from artstyletransfer_tpu.utils.perceptual import ssim  # noqa: E402
 
 CONTENT = "/root/reference/data/content-images/bird.jpg"
 STYLE = "/root/reference/data/style-images/vg_starry_night.jpg"
@@ -195,6 +196,14 @@ def main():
                                           args.chunk)
         final_img = rerun_image(job, steps, args.chunk)
         f32_loss, _ = metric_job.loss_report(final_img)
+        # VERDICT r4 #7: "reaches the same LOSS" does not imply "lands on
+        # the same IMAGE" — this nonconvex objective has many minima, and
+        # the optimizer-default justification ("Adam converges to a
+        # different final look") was asserted, never quantified. SSIM of
+        # each candidate's crossing-point image against the reference-
+        # semantics target image makes it a number.
+        img_ssim = ssim(np.clip(final_img, 0.0, 1.0),
+                        np.clip(target_img, 0.0, 1.0))
         rows.append({
             "config": name, "role": "candidate",
             "steps": steps, "wall_s": round(wall, 2),
@@ -202,6 +211,7 @@ def main():
             "reached": bool(loss <= target),
             "steps_per_s": round(steps / wall, 3),
             "speedup_vs_target_wall": round(wall0 / wall, 2),
+            "ssim_vs_target": round(img_ssim, 4),
         })
         print(json.dumps(rows[-1]), file=sys.stderr)
 
