@@ -1050,6 +1050,27 @@ def run_job_queue(jobs: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     """
     if checkpoint_dir is not None and checkpoint_every is None:
         checkpoint_every = cfg.stream_every  # same default as the CLI path
+    if checkpoint_dir is not None and cfg.optimizer == "lbfgs":
+        # a checkpoint save materializes the WHOLE opt state device-to-
+        # host: at 2K/history=100 the s/y pairs alone are ~7.6 GB (bf16),
+        # and the stream_every-matched default cadence would fetch that
+        # every ~3 s of compute. Loud guidance instead of a silent stall
+        # (observed: one save ~28 min through this host's tunnel; even a
+        # real TPU host NIC pays seconds per save).
+        from ..engine.pyramid import level_shape
+
+        h0, w0 = level_shape(jobs[0][1].shape[0], jobs[0][1].shape[1],
+                             cfg.levels_num - 1,
+                             cfg.base_diameter) if jobs else (0, 0)
+        state_gb = lbfgs_history_gb(cfg, [(1, h0, w0, 3)])
+        if state_gb > 1.0 and checkpoint_every <= 5 * cfg.stream_every:
+            import sys
+
+            print(f"warning: each checkpoint save fetches ~{state_gb:.1f} "
+                  f"GB of L-BFGS state per job; at --checkpoint-every "
+                  f"{checkpoint_every} that dominates the run. Consider "
+                  f"--checkpoint-every {max(200, 20 * cfg.stream_every)} "
+                  f"or --lbfgs-history 10.", file=sys.stderr)
     if canonicalize_contents:
         jobs = [(tid, canonicalize_content(c, cfg), s) for tid, c, s in jobs]
 

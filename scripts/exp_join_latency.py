@@ -10,11 +10,16 @@ user actually experiences on the real chip:
             t_done   = completion - add_task time
 
 Protocol: one executor per mode (same process, shared XLA compile
-caches), both paths pre-warmed with a throwaway task so neither
-measurement carries a cold compile (serving runs warmed — that is what
---warmup exists for). Then a staggered arrival trace: task A at t=0,
-B at +3 s, C at +6 s — same bucket (canonicalized), the exact pattern
-where round mode forces B and C to wait out A's round.
+caches), the full serving warmup ladder precompiled first —
+warmup_aspect_buckets at batch sizes {1, 2, 4} warms the scalar-chunk
+executables (round mode), the per-lane-step variants (join mode,
+warm_live_chunk) and the shrink gathers, exactly what `astt-lab
+--warmup` runs — so neither measurement carries a cold compile. (A first
+run of this harness warmed only batch 1: every join then stalled on a
+mid-serve compile, burying the latency signal — the exact failure mode
+the production warmup exists to prevent.) Then a staggered arrival
+trace: task A at t=0, B at +3 s, C at +6 s — same bucket (canonicalized),
+the exact pattern where round mode forces B and C to wait out A's round.
 
 Config: 1level256 Adam bf16 (fast compiles; the arrival-latency
 property under test is EXECUTOR-level — the production L-BFGS path rides
@@ -105,9 +110,22 @@ async def main_async():
     pairs = [ContentStylePair(("c.jpg", content), (f"s{i}.jpg", s))
              for i, s in enumerate(styles)]
 
+    # the production warmup ladder: every executable either mode can
+    # dispatch at <= 3 concurrent tasks (sizes 1, 2, 4; scalar +
+    # per-lane-step chunk variants + shrink gathers)
+    from artstyletransfer_tpu.engine.warmup import warmup_aspect_buckets
+    from artstyletransfer_tpu.parallel.batch import DEFAULT_ASPECT_BUCKETS
+
+    h, w = content.shape[:2]
+    aspect = min(DEFAULT_ASPECT_BUCKETS, key=lambda a: abs(a - w / h))
+    t0 = time.time()
+    n = warmup_aspect_buckets(cfg, params=params, aspects=(aspect,),
+                              batch_sizes=(1, 2, 4))
+    log(f"warmup ladder: {n} executables in {time.time() - t0:.0f}s")
+
     out = {"iters": iters, "chunk": chunk}
     for batch_join, mode in ((False, "round"), (True, "join")):
-        log(f"== warm {mode} mode (throwaway task, absorbs compiles) ==")
+        log(f"== warm {mode} executor path (throwaway task) ==")
         t0 = time.time()
         await drive(cfg, params, batch_join, pairs[:1], 0.0, f"warm_{mode}")
         log(f"   warmed in {time.time() - t0:.0f}s")
