@@ -329,9 +329,12 @@ def main(argv=None) -> int:
     parser.add_argument("--max-pairs", type=int, default=None,
                         help="truncate the demo batch to the first N pairs "
                              "(rehearsals/smoke drives; default: all 20)")
-    parser.add_argument("--batched", action="store_true",
-                        help="run the demo queue through the mesh-batched "
-                             "TPU executor instead of 2-at-a-time")
+    parser.add_argument("--batched", action=argparse.BooleanOptionalAction,
+                        default=False,
+                        help="run the demo queue through the offline "
+                             "mesh-batched queue path (one run_job_queue "
+                             "over the whole demo; overrides --online for "
+                             "the demo enqueue)")
     parser.add_argument("--online", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="serve live tasks through the online batching "
@@ -385,6 +388,11 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, stop_shrink=args.stop_shrink)
     pairs = (CONTENT_STYLE_FILENAME_PAIRS[:args.max_pairs]
              if args.max_pairs else None)
+    if args.batched:
+        # the two modes are exclusive: --batched is the offline queue
+        # path; with --online defaulting ON since r5 it must not ALSO
+        # construct the live executor
+        args.online = False
     if args.warmup:
         from ..engine.warmup import warmup_serving
 

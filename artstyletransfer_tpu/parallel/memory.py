@@ -45,7 +45,7 @@ def _batched_sds(cfg: Config, content_hw: Tuple[int, int], mesh,
         for lvl in range(cfg.levels_num - 1, -1, -1)]
     n = int(np.prod(shapes[0]))
 
-    jit_init, jit_chunk, jit_targets, _metrics = \
+    jit_init, jit_chunk, jit_targets, _metrics, _chunk_steps = \
         _build_batched_runners(cfg, tuple(shapes), warn_hbm=False,
                                space_mesh=mesh if shard_space else None)
 

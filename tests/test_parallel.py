@@ -335,10 +335,11 @@ def test_warmup_compiles_buckets(vgg_params):
     assert n == 2
 
     # online-serving warmup: the vmapped batched runners, one per
-    # (bucket, padded size) — what the online executor actually dispatches
+    # (bucket, padded size), each with its scalar-chunk executable PLUS
+    # (r5) the per-lane-step variant live joins dispatch
     n = warmup_aspect_buckets(cfg, params=vgg_params, aspects=(1.0,),
                               verbose=False, batch_sizes=(1, 2))
-    assert n == 2
+    assert n == 4
 
 
 def test_batch_policy_routing():

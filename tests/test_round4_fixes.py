@@ -575,9 +575,10 @@ def test_warmup_serving_shared_entry(vgg_params, monkeypatch):
         return 1
 
     # the real compile path runs end-to-end at a tiny shape (before the
-    # fake is patched in): one executable per padded batch size
+    # fake is patched in): per padded batch size, the scalar-chunk
+    # executable PLUS (r5) the per-lane-step variant live joins dispatch
     n = warmup_mod.warmup_serving(cfg, online=True, aspects=(1.0,))
-    assert n == 4
+    assert n == 8
 
     monkeypatch.setattr(warmup_mod, "warmup_aspect_buckets", fake_buckets)
     assert warmup_mod.warmup_serving(cfg, online=False) == 1
