@@ -124,6 +124,21 @@ class LiveBatchRunner:
             pending = [t for t, _c, _s in self._pending]
         return self.live_tids + pending
 
+    @property
+    def lanes_reserved(self) -> int:
+        """Padded lanes this runner's batch occupies (or will occupy at
+        its next boundary, once queued joins enter) — the HBM accounting
+        unit for the executor's GLOBAL lane budget. Every resident lane
+        (padding replicas included) carries full optimizer state."""
+        with self._lock:
+            pend = len(self._pending)
+        live = len([ln for ln, t in enumerate(self._lane_tid)
+                    if t is not None and ln not in self._exited])
+        n = live + pend
+        want = (1 << (n - 1).bit_length()) if n else 0
+        cur = len(self._lane_tid) if self._bj is not None else 0
+        return max(cur, want)
+
     # -- boundary maintenance ----------------------------------------------
 
     def _capacity(self, content_shape) -> int:
@@ -162,6 +177,13 @@ class LiveBatchRunner:
             old_state = _gather_rows((self._x, self._opt), idx)
         old_steps = ([int(self._lane_steps[lane]) for lane in survivors]
                      if self._lane_steps is not None else [])
+        # release the FULL old batch now (the gather holds the survivor
+        # rows): constructing the new batch + its init eval below would
+        # otherwise double-book HBM against the old buffers — at
+        # production L-BFGS state sizes that transient is the difference
+        # between a rebuild and a RESOURCE_EXHAUSTED
+        self._bj = None
+        self._x = self._opt = None
 
         from . import batch as batch_mod
 

@@ -305,14 +305,30 @@ class OnlineBatchingExecutor:
         new bucket's runner next cycle) — the wait the round-based path
         imposed (the whole in-flight round) is gone. A runner whose step
         raises fails ONLY its own bucket's tasks (same isolation contract
-        as run_job_queue's buckets)."""
+        as run_job_queue's buckets).
+
+        GLOBAL lane budget: unlike the round path (one bucket's batch
+        resident at a time), concurrent runners hold their batch states
+        on the chip SIMULTANEOUSLY — an unbudgeted 20-job flood across 4
+        buckets put ~4 full production L-BFGS batches in 16 GB of HBM and
+        RESOURCE_EXHAUSTED every one of them (r5 drive). Jobs therefore
+        enter runners FIFO only while the total reserved (padded) lanes
+        stay within `max_batch`; the overflow waits in the executor's
+        pending list and flows in as lanes free up."""
         from ..parallel.live import LiveBatchRunner
 
         loop = asyncio.get_running_loop()
         self.dispatch_rounds += 1
+        lane_budget = max(1, self.max_batch or 8)
 
         def feed(batch_jobs):
-            for tid, content, style in batch_jobs:
+            """Admit jobs up to the global lane budget; returns deferred."""
+            used = sum(r.lanes_reserved for r in self._runners.values())
+            deferred = []
+            for i, (tid, content, style) in enumerate(batch_jobs):
+                if used >= lane_budget:
+                    deferred = batch_jobs[i:]
+                    break
                 key = (content.shape, style.shape)
                 runner = self._runners.get(key)
                 if runner is None:
@@ -320,23 +336,36 @@ class OnlineBatchingExecutor:
                         self.__config, params=self.params, mesh=self.mesh,
                         max_batch=self.max_batch,
                         stream_images=self.stream_images)
+                before = runner.lanes_reserved
                 runner.submit(tid, content, style)
+                used += runner.lanes_reserved - before
+            return deferred
 
-        feed(jobs)
+        async def requeue(deferred):
+            if deferred:
+                async with self.__pending_lock:
+                    self.__pending = deferred + self.__pending
+
+        await requeue(feed(jobs))
         rr = 0  # round-robin cursor over buckets
         while True:
-            # mid-flight arrivals: drain and feed at every chunk boundary
+            # mid-flight arrivals + budget-deferred jobs: drain and feed
+            # at every chunk boundary
             async with self.__pending_lock:
                 fresh, self.__pending = self.__pending, []
             if fresh:
                 # the wake these jobs set stays set: one spurious outer-
                 # loop spin after we drain is cheaper than the lost-job
                 # race of clearing a wake a concurrent add_task just set
-                feed(fresh)
+                await requeue(feed(fresh))
             active = [(key, r) for key, r in self._runners.items()
                       if r.active]
             if not active:
-                break
+                async with self.__pending_lock:
+                    drained = not self.__pending
+                if drained:
+                    break
+                continue
             self.__round_ids = frozenset(
                 tid for _k, r in active for tid in r.all_tids)
             key, runner = active[rr % len(active)]

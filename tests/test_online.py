@@ -341,6 +341,64 @@ def test_online_executor_live_join_bounds_newcomer_wait(vgg_params):
     asyncio.run(check())
 
 
+def test_online_live_global_lane_budget(vgg_params):
+    """Concurrent runners hold their batch states on the chip
+    SIMULTANEOUSLY, so the live executor admits jobs FIFO only within a
+    global padded-lane budget (max_batch) — an unbudgeted 20-job flood
+    across 4 buckets RESOURCE_EXHAUSTED a real 16 GB chip (r5 drive).
+    With budget 2, a 4-task flood across two shape buckets must still
+    complete 4/4, never holding more than 2 reserved lanes."""
+    from artstyletransfer_tpu.parallel import live as live_mod
+
+    max_seen = 0
+    real_step = live_mod.LiveBatchRunner.step
+
+    def spy_step(self):
+        nonlocal max_seen
+        # reserved lanes across every runner in existence at dispatch time
+        total = sum(r.lanes_reserved for r in runners_seen)
+        max_seen = max(max_seen, total)
+        return real_step(self)
+
+    runners_seen = []
+    real_init = live_mod.LiveBatchRunner.__init__
+
+    def spy_init(self, *a, **kw):
+        runners_seen.append(self)
+        real_init(self, *a, **kw)
+
+    live_mod.LiveBatchRunner.step = spy_step
+    live_mod.LiveBatchRunner.__init__ = spy_init
+    try:
+        cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                     optimizer="adam", stream_every=2)
+        ex = OnlineBatchingExecutor(cfg, verbose=False, params=vgg_params,
+                                    canonicalize=False, batch_window_s=0.0,
+                                    max_batch=2)
+
+        async def go():
+            for i in range(2):
+                await ex.add_task(f"a{i}", _pair(i))                 # 16x16
+            for i in range(2):
+                await ex.add_task(f"b{i}", _pair(i, shape=(24, 16, 3)))
+            await ex.run()
+
+        asyncio.run(go())
+    finally:
+        live_mod.LiveBatchRunner.step = real_step
+        live_mod.LiveBatchRunner.__init__ = real_init
+    assert ex.failures == {}
+    assert len(runners_seen) == 2  # two shape buckets
+    assert max_seen <= 2, max_seen
+
+    async def check():
+        for tid in ("a0", "a1", "b0", "b1"):
+            pct, _img = await ex.get_progress(tid)
+            assert pct == 100.0
+
+    asyncio.run(check())
+
+
 def test_online_report_progress_callback_streams():
     """The report_progress coroutine (the bot's contract) fires per chunk
     with (task_id, (percent, image))."""
