@@ -25,7 +25,7 @@ Config: 1level256 Adam bf16 (fast compiles; the arrival-latency
 property under test is EXECUTOR-level — the production L-BFGS path rides
 the same join machinery, tested in tests/test_online.py).
 
-Usage: python scripts/exp_join_latency.py [iters=500] [chunk=50]
+Usage: python scripts/exp_join_latency.py [iters=500] [chunk=50] [stagger=3]
 Output: JSON on stdout, human log on stderr.
 """
 
@@ -99,6 +99,7 @@ async def main_async():
         f"({jax.devices()[0].device_kind})")
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    stagger = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
 
     cfg = production_config(Config(levels_num=1, base_diameter=256,
                                    optimizer="adam", iters_num=iters,
@@ -123,14 +124,14 @@ async def main_async():
                               batch_sizes=(1, 2, 4))
     log(f"warmup ladder: {n} executables in {time.time() - t0:.0f}s")
 
-    out = {"iters": iters, "chunk": chunk}
+    out = {"iters": iters, "chunk": chunk, "stagger_s": stagger}
     for batch_join, mode in ((False, "round"), (True, "join")):
         log(f"== warm {mode} executor path (throwaway task) ==")
         t0 = time.time()
         await drive(cfg, params, batch_join, pairs[:1], 0.0, f"warm_{mode}")
         log(f"   warmed in {time.time() - t0:.0f}s")
-        log(f"== measure {mode} mode: A at 0s, B at +3s, C at +6s ==")
-        res = await drive(cfg, params, batch_join, pairs, 3.0, mode)
+        log(f"== measure {mode} mode: A at 0s, B at +{stagger}s, C at +{2*stagger}s ==")
+        res = await drive(cfg, params, batch_join, pairs, stagger, mode)
         log(f"   {mode}: first-progress {res['first_progress_s']} "
             f"done {res['done_s']} wall {res['wall_s']}s")
         out[mode] = res
