@@ -414,6 +414,19 @@ class OnlineBatchingExecutor:
 
     # -- lifecycle ---------------------------------------------------------
 
+    async def aclose(self):
+        """Cancel the dispatcher task cleanly (harnesses/short-lived
+        embedders; the serving frontends keep dispatching for the process
+        lifetime). Queued-but-unstarted jobs are dropped; call run()
+        first to drain."""
+        if self.__dispatcher is not None and not self.__dispatcher.done():
+            self.__dispatcher.cancel()
+            try:
+                await self.__dispatcher
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+        self.__dispatcher = None
+
     async def run(self, forever: bool = False):
         """Wait until every queued job has been dispatched and finished;
         with forever=True keep serving (Executor.run contract).

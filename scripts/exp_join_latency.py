@@ -83,6 +83,7 @@ async def drive(cfg, params, batch_join, pairs, stagger_s, tag):
     await feed
     await ex.run()
     wall = time.time() - t0
+    await ex.aclose()
     assert ex.failures == {}, ex.failures
     order = sorted(t_add)
     return {

@@ -210,6 +210,25 @@ def test_online_real_engine_runs_one_vmapped_batch(vgg_params, monkeypatch):
     asyncio.run(check())
 
 
+def test_online_aclose_cancels_dispatcher():
+    """aclose() cancels the dispatcher task cleanly (idempotent) so
+    short-lived embedders/harnesses exit without 'Task was destroyed but
+    it is pending' teardown warnings."""
+    runner = FakeQueueRunner()
+    ex = OnlineBatchingExecutor(Config(iters_num=2), verbose=False,
+                                canonicalize=False, queue_runner=runner,
+                                batch_window_s=0.0)
+
+    async def go():
+        await ex.add_task("t", _pair(0))
+        await ex.run()
+        await ex.aclose()
+        await ex.aclose()  # idempotent
+
+    asyncio.run(go())
+    assert ex.failures == {} and runner.calls == [["t"]]
+
+
 def test_live_runner_join_budget_and_exit(vgg_params):
     """parallel.live.LiveBatchRunner: a task submitted mid-flight joins at
     the next chunk boundary (batch 1 -> 2), runs its FULL budget offset
