@@ -319,6 +319,42 @@ def test_live_runner_stop_tol_exits_converged_lane(vgg_params):
     assert not r.active
 
 
+def test_online_live_bucket_failure_isolated(vgg_params, monkeypatch):
+    """A runner whose step raises fails ONLY its own bucket's tasks
+    (run_job_queue's bucket-isolation contract carried into live mode);
+    the other bucket completes."""
+    from artstyletransfer_tpu.parallel import live as live_mod
+
+    real_step = live_mod.LiveBatchRunner.step
+
+    def poisoned_step(self):
+        if any(t.startswith("bad") for t in self.all_tids):
+            raise RuntimeError("injected device failure")
+        return real_step(self)
+
+    monkeypatch.setattr(live_mod.LiveBatchRunner, "step", poisoned_step)
+
+    cfg = Config(levels_num=1, iters_num=4, base_diameter=16,
+                 optimizer="adam", stream_every=2)
+    ex = OnlineBatchingExecutor(cfg, verbose=False, params=vgg_params,
+                                canonicalize=False, batch_window_s=0.0)
+
+    async def go():
+        await ex.add_task("bad0", _pair(0))                    # 16x16
+        await ex.add_task("good0", _pair(1, shape=(24, 16, 3)))
+        await ex.run()
+
+    asyncio.run(go())
+    assert set(ex.failures) == {"bad0"}
+    assert "injected device failure" in str(ex.failures["bad0"])
+
+    async def check():
+        pct, img = await ex.get_progress("good0")
+        assert pct == 100.0 and img is not None
+
+    asyncio.run(check())
+
+
 def test_online_executor_live_join_bounds_newcomer_wait(vgg_params):
     """End-to-end through OnlineBatchingExecutor (batch_join default): a
     task added while a round is in flight gets its first progress BEFORE
